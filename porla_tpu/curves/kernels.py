@@ -1,0 +1,123 @@
+"""Jitted, shape-cached entry points for the batched curve operations.
+
+The protocol layer calls these; jit caches one executable per padded
+batch-size/nbits combination. Leading batch dims are padded to powers of
+two (min 8) so arbitrary protocol sizes reuse a handful of executables —
+curve-op graphs are large, so executable count matters. Padding lanes hold
+the point at infinity / zero scalars, which are exact no-ops for every
+operation here.
+
+On TPU these are the hot MAC-mirror / MSM kernels; under tests they run on
+the CPU backend with identical numerics.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from porla_tpu.curves.weierstrass import CurveOps, JacPoint
+from porla_tpu.fields.limbs import NLIMBS
+
+
+def _pad_len(n: int) -> int:
+    p = 8
+    while p < n:
+        p <<= 1
+    return p
+
+
+def _pad_point(p: JacPoint, n: int) -> JacPoint:
+    """Pad leading axis to n with infinity (z=0) points."""
+    cur = p.x.shape[0]
+    if cur == n:
+        return p
+    tail_shape = (n - cur,) + p.x.shape[1:]
+    return JacPoint(
+        jnp.concatenate([p.x, jnp.ones(tail_shape, jnp.uint32)], 0),
+        jnp.concatenate([p.y, jnp.ones(tail_shape, jnp.uint32)], 0),
+        jnp.concatenate([p.z, jnp.zeros(tail_shape, jnp.uint32)], 0))
+
+
+def _pad_scalars(s, n: int):
+    cur = s.shape[0]
+    if cur == n:
+        return s
+    tail = (n - cur,) + s.shape[1:]
+    return jnp.concatenate([s, jnp.zeros(tail, jnp.uint32)], 0)
+
+
+@lru_cache(maxsize=None)
+def _scalar_mul_fn(ops: CurveOps, nbits: int):
+    @jax.jit
+    def f(px, py, pz, scalars):
+        return tuple(ops.scalar_mul(jnp, JacPoint(px, py, pz), scalars, nbits))
+    return f
+
+
+def scalar_mul(ops: CurveOps, p: JacPoint, scalars, nbits: int = 256,
+               pad: bool = True) -> JacPoint:
+    """Batched k*P. If `pad`, the leading axis is padded to a power of two
+    and the result sliced back."""
+    n = p.x.shape[0]
+    if pad:
+        m = _pad_len(max(n, scalars.shape[0]))
+        p = _pad_point(p, m)
+        scalars = _pad_scalars(jnp.asarray(scalars), m)
+    out = JacPoint(*_scalar_mul_fn(ops, nbits)(p.x, p.y, p.z, scalars))
+    if pad:
+        out = JacPoint(out.x[:n], out.y[:n], out.z[:n])
+    return out
+
+
+@lru_cache(maxsize=None)
+def _add_fn(ops: CurveOps):
+    @jax.jit
+    def f(ax, ay, az, bx, by, bz):
+        return tuple(ops.add(jnp, JacPoint(ax, ay, az), JacPoint(bx, by, bz)))
+    return f
+
+
+def add(ops: CurveOps, a: JacPoint, b: JacPoint) -> JacPoint:
+    return JacPoint(*_add_fn(ops)(a.x, a.y, a.z, b.x, b.y, b.z))
+
+
+@lru_cache(maxsize=None)
+def _msm_fn(ops: CurveOps, nbits: int):
+    @jax.jit
+    def f(px, py, pz, scalars):
+        return tuple(ops.msm(jnp, JacPoint(px, py, pz), scalars, nbits))
+    return f
+
+
+def msm(ops: CurveOps, points: JacPoint, scalars, nbits: int = 256) -> JacPoint:
+    """sum_i scalars[i]*points[i] over the leading axis -> batch-() point.
+
+    Padded lanes contribute the identity (zero scalar * infinity)."""
+    n = points.x.shape[0]
+    m = _pad_len(n)
+    points = _pad_point(points, m)
+    scalars = _pad_scalars(jnp.asarray(scalars), m)
+    return JacPoint(*_msm_fn(ops, nbits)(points.x, points.y, points.z, scalars))
+
+
+def to_device(p: JacPoint) -> JacPoint:
+    return JacPoint(jnp.asarray(p.x), jnp.asarray(p.y), jnp.asarray(p.z))
+
+
+def to_host(p: JacPoint) -> JacPoint:
+    return JacPoint(np.asarray(p.x), np.asarray(p.y), np.asarray(p.z))
+
+
+def concat(points: list[JacPoint]) -> JacPoint:
+    return JacPoint(
+        jnp.concatenate([p.x for p in points], axis=0),
+        jnp.concatenate([p.y for p in points], axis=0),
+        jnp.concatenate([p.z for p in points], axis=0))
+
+
+def index(p: JacPoint, idx) -> JacPoint:
+    return JacPoint(p.x[idx], p.y[idx], p.z[idx])

@@ -106,42 +106,49 @@ class CurveOps:
         return JacPoint(p.x, mont.neg_mod(xp, p.y, self.fp), p.z)
 
     def double(self, xp, p: JacPoint) -> JacPoint:
-        """dbl-2009-l (a=0): 7 field muls. Maps infinity -> infinity and
-        y=0 -> infinity automatically (Z3 = 2YZ)."""
-        A = self._mul(xp, p.x, p.x)
-        B = self._mul(xp, p.y, p.y)
-        C = self._mul(xp, B, B)
-        xb = self._add(xp, p.x, B)
-        D = self._sub(xp, self._sub(xp, self._mul(xp, xb, xb), A), C)
-        D = self._dbl_f(xp, D)
+        """dbl-2009-l (a=0), with independent multiplies batched into
+        stacked calls (4 mul invocations instead of 7). Maps infinity ->
+        infinity and y=0 -> infinity automatically (Z3 = 2YZ)."""
+        X, Y, Z = p.x, p.y, p.z
+        s1 = self._mul(xp, xp.stack([X, Y]), xp.stack([X, Y]))
+        A, B = s1[0], s1[1]
+        xb = self._add(xp, X, B)
+        s2 = self._mul(xp, xp.stack([B, xb, Y]), xp.stack([B, xb, Z]))
+        C, xb2, YZ = s2[0], s2[1], s2[2]
+        D = self._dbl_f(xp, self._sub(xp, self._sub(xp, xb2, A), C))
         E = self._add(xp, self._dbl_f(xp, A), A)
         F = self._mul(xp, E, E)
         X3 = self._sub(xp, F, self._dbl_f(xp, D))
         C8 = self._dbl_f(xp, self._dbl_f(xp, self._dbl_f(xp, C)))
         Y3 = self._sub(xp, self._mul(xp, E, self._sub(xp, D, X3)), C8)
-        Z3 = self._dbl_f(xp, self._mul(xp, p.y, p.z))
+        Z3 = self._dbl_f(xp, YZ)
         return JacPoint(X3, Y3, Z3)
 
     def add(self, xp, p1: JacPoint, p2: JacPoint) -> JacPoint:
         """General Jacobian addition (add-2007-bl) with branchless handling
-        of infinity / doubling / inverse-pair cases (~16+7 muls)."""
-        Z1Z1 = self._mul(xp, p1.z, p1.z)
-        Z2Z2 = self._mul(xp, p2.z, p2.z)
-        U1 = self._mul(xp, p1.x, Z2Z2)
-        U2 = self._mul(xp, p2.x, Z1Z1)
-        S1 = self._mul(xp, self._mul(xp, p1.y, p2.z), Z2Z2)
-        S2 = self._mul(xp, self._mul(xp, p2.y, p1.z), Z1Z1)
+        of infinity / doubling / inverse-pair cases. Independent multiplies
+        are batched into stacked calls (5 mul invocations + the embedded
+        double instead of 16+7 separate ones)."""
+        X1, Y1, Z1, X2, Y2, Z2 = xp.broadcast_arrays(
+            p1.x, p1.y, p1.z, p2.x, p2.y, p2.z)
+        p1 = JacPoint(X1, Y1, Z1)
+        p2 = JacPoint(X2, Y2, Z2)
+        s1 = self._mul(xp, xp.stack([Z1, Z2, Y1, Y2]),
+                       xp.stack([Z1, Z2, Z2, Z1]))
+        Z1Z1, Z2Z2, A1, A2 = s1[0], s1[1], s1[2], s1[3]
+        s2 = self._mul(xp, xp.stack([X1, X2, A1, A2]),
+                       xp.stack([Z2Z2, Z1Z1, Z2Z2, Z1Z1]))
+        U1, U2, S1, S2 = s2[0], s2[1], s2[2], s2[3]
         H = self._sub(xp, U2, U1)
         R = self._sub(xp, S2, S1)
-
-        HH = self._mul(xp, H, H)
-        HHH = self._mul(xp, H, HH)
-        V = self._mul(xp, U1, HH)
-        RR = self._mul(xp, R, R)
+        s3 = self._mul(xp, xp.stack([H, R, Z1]), xp.stack([H, R, Z2]))
+        HH, RR, Z1Z2 = s3[0], s3[1], s3[2]
+        s4 = self._mul(xp, xp.stack([H, U1, Z1Z2]), xp.stack([HH, HH, H]))
+        HHH, V, Z3 = s4[0], s4[1], s4[2]
         X3 = self._sub(xp, self._sub(xp, RR, HHH), self._dbl_f(xp, V))
-        Y3 = self._sub(xp, self._mul(xp, R, self._sub(xp, V, X3)),
-                       self._mul(xp, S1, HHH))
-        Z3 = self._mul(xp, self._mul(xp, p1.z, p2.z), H)
+        s5 = self._mul(xp, xp.stack([R, S1]),
+                       xp.stack([self._sub(xp, V, X3), HHH]))
+        Y3 = self._sub(xp, s5[0], s5[1])
         raw = JacPoint(X3, Y3, Z3)
 
         p1_inf = mont.is_zero(xp, p1.z)
@@ -169,47 +176,78 @@ class CurveOps:
         return _select_point(xp, mask, a, b)
 
     def scalar_mul(self, xp, p: JacPoint, scalars, nbits: int = 256) -> JacPoint:
-        """Batched double-and-add (MSB first): scalars is (…, 16)
-        standard-form limbs, treated as raw 256-bit integers — values >= the
-        group order wrap in the group exactly like secp256k1_ecmult does in
-        the reference (raw limbs are never reduced; Client.hpp:180-192).
+        """Batched windowed (4-bit) double-and-add, MSB first.
 
-        `nbits` bounds the scalar bit-length when the caller knows it is
-        small (e.g. 128-bit PRF scalars, 31-bit audit coefficients) — the
-        loop shortens accordingly.
+        scalars is (…, 16) standard-form limbs, treated as raw 256-bit
+        integers — values >= the group order wrap in the group exactly like
+        secp256k1_ecmult does on raw limbs in the reference
+        (Client.hpp:180-192). `nbits` bounds the scalar bit-length when the
+        caller knows it is small (128-bit PRF scalars, 31-bit audit
+        coefficients) — the window loop shortens accordingly.
+
+        Per 4 bits: 4 doubles + 1 table add (+ a mask-select of the
+        16-entry per-element table — uint32 selects, no field muls), ~2.9x
+        fewer field muls than bitwise double-and-add.
         """
-        acc0 = self.infinity(xp, ())
-        acc = JacPoint(
-            xp.broadcast_to(acc0.x, p.x.shape),
-            xp.broadcast_to(acc0.y, p.y.shape),
-            xp.broadcast_to(acc0.z, p.z.shape))
+        assert nbits % 4 == 0
+        nwin = nbits // 4
 
-        def step(acc: JacPoint, bit) -> JacPoint:
-            acc = self.double(xp, acc)
-            added = self.add(xp, acc, p)
-            return _select_point(xp, bit == 1, added, acc)
+        # align point/scalar batch shapes (e.g. shared generators against a
+        # (B, 128) scalar batch)
+        bshape = np.broadcast_shapes(p.x.shape[:-1], scalars.shape[:-1])
+        p = JacPoint(xp.broadcast_to(p.x, bshape + p.x.shape[-1:]),
+                     xp.broadcast_to(p.y, bshape + p.y.shape[-1:]),
+                     xp.broadcast_to(p.z, bshape + p.z.shape[-1:]))
+        scalars = xp.broadcast_to(scalars, bshape + scalars.shape[-1:])
+
+        # per-element table T[d] = d*P, d = 0..15 (T[0] = infinity)
+        inf0 = self.infinity(xp, ())
+        inf = JacPoint(xp.broadcast_to(inf0.x, p.x.shape),
+                       xp.broadcast_to(inf0.y, p.y.shape),
+                       xp.broadcast_to(inf0.z, p.z.shape))
+        table = [inf, p]
+        for d in range(2, 16):
+            if d % 2 == 0:
+                table.append(self.double(xp, table[d // 2]))
+            else:
+                table.append(self.add(xp, table[d - 1], p))
+        tx = xp.stack([t.x for t in table], axis=0)  # (16, …, 16)
+        ty = xp.stack([t.y for t in table], axis=0)
+        tz = xp.stack([t.z for t in table], axis=0)
+
+        # (nwin, …) digit tensor, MSB-first
+        shifts = np.arange(0, 16, 4, dtype=np.uint32)
+        digits = (scalars[..., None] >> shifts) & xp.uint32(0xF)  # (…, 16, 4)
+        digits = digits.reshape(scalars.shape[:-1] + (64,))
+        digits = xp.moveaxis(digits, -1, 0)[:nwin][::-1]
+
+        def lookup(digit):
+            """Branchless table select: sum_d T[d]*(digit==d)."""
+            m = xp.stack([(digit == np.uint32(d)).astype(xp.uint32)
+                          for d in range(16)], axis=0)[..., None]
+            return JacPoint(xp.sum(tx * m, axis=0).astype(xp.uint32),
+                            xp.sum(ty * m, axis=0).astype(xp.uint32),
+                            xp.sum(tz * m, axis=0).astype(xp.uint32))
+
+        def step(acc: JacPoint, digit) -> JacPoint:
+            for _ in range(4):
+                acc = self.double(xp, acc)
+            return self.add(xp, acc, lookup(digit))
 
         if xp is np:
-            for i in range(nbits):
-                b = nbits - 1 - i
-                bit = (scalars[..., b // 16] >> np.uint32(b % 16)) & np.uint32(1)
-                acc = step(acc, bit)
+            acc = inf
+            for w in range(nwin):
+                acc = step(acc, digits[w])
             return acc
 
         import jax
 
-        # (nbits, …) bit tensor, MSB first, so the loop body indexes with a
-        # traced iteration counter without per-limb gathers.
-        shifts = np.arange(16, dtype=np.uint32)
-        bits = (scalars[..., None] >> shifts) & xp.uint32(1)  # (…, 16, 16)
-        bits = bits.reshape(scalars.shape[:-1] + (256,))
-        bits = xp.moveaxis(bits, -1, 0)[:nbits][::-1]  # (nbits, …) MSB first
-
         def body(i, acc_t):
-            bit = jax.lax.dynamic_index_in_dim(bits, i, axis=0, keepdims=False)
-            return tuple(step(JacPoint(*acc_t), bit))
+            digit = jax.lax.dynamic_index_in_dim(digits, i, axis=0,
+                                                 keepdims=False)
+            return tuple(step(JacPoint(*acc_t), digit))
 
-        res = jax.lax.fori_loop(0, nbits, body, tuple(acc))
+        res = jax.lax.fori_loop(0, nwin, body, tuple(inf))
         return JacPoint(*res)
 
     def tree_sum(self, xp, p: JacPoint, axis: int = 0) -> JacPoint:
@@ -236,10 +274,10 @@ class CurveOps:
                 n = half
         return p
 
-    def msm(self, xp, points: JacPoint, scalars) -> JacPoint:
+    def msm(self, xp, points: JacPoint, scalars, nbits: int = 256) -> JacPoint:
         """Multi-scalar multiplication over the leading axis:
         sum_i scalars[i] * points[i]. scalars: (N, …, 16) standard form."""
-        parts = self.scalar_mul(xp, points, scalars)
+        parts = self.scalar_mul(xp, points, scalars, nbits)
         return self.tree_sum(xp, parts, axis=0)
 
 

@@ -4,15 +4,21 @@ All functions are `xp`-agnostic: pass `numpy` for eager host execution or
 `jax.numpy` inside jitted TPU kernels — the exact same arithmetic runs in
 both places, so every device kernel has a bit-identical host twin.
 
-Design notes (why this maps well onto TPU vector units):
-- limbs are 16-bit values held in uint32 lanes; a*b of two limbs is exact
-  in uint32 (max (2^16-1)^2 < 2^32);
-- schoolbook products are accumulated as 32 "columns" after splitting each
-  partial product into hi/lo 16-bit halves, so every column stays < 2^22 —
-  no carries needed until a single final propagation;
-- Montgomery reduction (R = 2^256, 16-bit digits) interleaves with the
-  columns; all sequential dependencies are 16-step scalar chains over fully
-  vectorized batch axes.
+TPU-first design:
+- limbs are 16-bit values held in uint32 lanes; every partial product is
+  exact in uint32 — no 64-bit arithmetic anywhere;
+- the schoolbook product is ONE (…, 16, 16) vector multiply whose
+  anti-diagonal column sums are computed with a pad/reshape "skew" trick
+  (constant number of tensor ops, no per-limb loops);
+- modular reduction is full-width Montgomery REDC: m = T·N' mod R and
+  T + m·N as two more skew products — fully parallel, unlike the serial
+  16-round digit-by-digit variant;
+- carry/borrow propagation is a Kogge-Stone (generate, propagate) scan:
+  log2(#limbs) tensor steps instead of a 16-step sequential chain.
+
+Everything is built from whole-limb-axis tensor primitives, which keeps
+traced/compiled program size small and gives XLA wide vectors with
+log-depth dependency chains.
 
 This replaces the roles of NTL's ZZ_p arithmetic and libsecp256k1's
 field_5x52/scalar_4x64 code in the reference (porla/Utils/utils.h,
@@ -26,7 +32,9 @@ import numpy as np
 from porla_tpu.fields.limbs import LIMB_BITS, LIMB_MASK, NLIMBS, int_to_limbs
 
 _B = LIMB_BITS
-_M = LIMB_MASK
+_M = np.uint32(LIMB_MASK)
+_ONE = np.uint32(1)
+_SH = np.uint32(_B)
 
 
 class Modulus:
@@ -37,8 +45,7 @@ class Modulus:
         self.n = n
         self.name = name or hex(n)[:18]
         self.limbs = int_to_limbs(n)                      # (16,) u32
-        self.limb_list = [int(x) for x in self.limbs]
-        self.n0inv = (-pow(n, -1, 1 << _B)) % (1 << _B)   # -n^-1 mod 2^16
+        self.nprime = int_to_limbs((-pow(n, -1, 1 << 256)) % (1 << 256))
         self.r = (1 << 256) % n                           # R mod n
         self.r2 = (self.r * self.r) % n                   # R^2 mod n
         self.r2_limbs = int_to_limbs(self.r2)
@@ -52,111 +59,175 @@ class Modulus:
         return f"Modulus({self.name})"
 
 
-def _split(xp, a):
-    """(…, 16) tensor -> list of 16 (…,) lanes."""
-    return [a[..., i] for i in range(NLIMBS)]
+def _pad_last(xp, a, left: int, total: int):
+    widths = [(0, 0)] * (a.ndim - 1) + [(left, total - left - a.shape[-1])]
+    return xp.pad(a, widths)
 
 
-def _join(xp, lanes):
-    return xp.stack(lanes, axis=-1)
+def _shift_up(xp, a, s: int):
+    """Shift limbs toward higher indices by s (same width, zeros in)."""
+    widths = [(0, 0)] * (a.ndim - 1) + [(s, 0)]
+    return xp.pad(a, widths)[..., : a.shape[-1]]
+
+
+def _skew_colsum(xp, rows):
+    """(…, R, W) partial-product rows -> (…, R+W) anti-diagonal column sums
+    cols[k] = sum_{i+j=k} rows[i, j], in O(1) tensor ops.
+
+    Works by padding each row to width W+R+1 and re-viewing the flat buffer
+    with row stride W+R, which left-aligns row i at offset i — the classic
+    "skew" reshape. Entries must satisfy R * max(rows) < 2^32.
+    """
+    R, W = rows.shape[-2], rows.shape[-1]
+    padded = _pad_last(xp, rows, 0, W + R + 1)
+    flat = padded.reshape(rows.shape[:-2] + (R * (W + R + 1),))
+    flat = flat[..., : R * (W + R)]
+    return xp.sum(flat.reshape(rows.shape[:-2] + (R, W + R)), axis=-2,
+                  dtype=xp.uint32)
+
+
+def _mul_cols(xp, a, b, width: int):
+    """Column representation of the integer product a*b.
+
+    a: (…, 16) limbs (< 2^16 each), b: (…, 16) -> (…, width) columns with
+    entries < 2^21; value = sum_k cols[k] * 2^(16k).
+    """
+    p = a[..., :, None] * b[..., None, :]
+    lo = _skew_colsum(xp, p & _M)
+    hi = _skew_colsum(xp, p >> _SH)
+    return _pad_last(xp, lo, 0, width) + _pad_last(xp, hi, 1, width)
+
+
+def _ks_carry(xp, g, p):
+    """Kogge-Stone inclusive scan of (generate, propagate) carry pairs
+    along the limb axis. Returns (carry_in per limb, carry_out of last)."""
+    W = g.shape[-1]
+    s = 1
+    G, P = g, p
+    while s < W:
+        Gs = _shift_up(xp, G, s)
+        Ps = _shift_up(xp, P, s)
+        G = G | (P & Gs)
+        P = P & Ps
+        s <<= 1
+    cin = _shift_up(xp, G, 1)
+    return cin, G[..., W - 1]
+
+
+def _normalize(xp, cols):
+    """Exact base-2^16 digits of a column representation.
+
+    cols: (…, W) with entries < 2^23 -> digits (…, W+2) each < 2^16.
+    """
+    W = cols.shape[-1]
+    c1 = cols >> _SH                                   # < 2^7
+    v = _pad_last(xp, cols & _M, 0, W + 1) + _pad_last(xp, c1, 1, W + 1)
+    c2 = v >> _SH                                      # {0, 1}
+    v2 = _pad_last(xp, v & _M, 0, W + 2) + _pad_last(xp, c2, 1, W + 2)
+    # v2 entries <= 2^16: carries are now 0/1 -> Kogge-Stone
+    g = v2 >> _SH != 0                                 # generates carry
+    p = (v2 & _M) == _M                                # propagates carry
+    cin, _ = _ks_carry(xp, g, p)
+    return (v2 + cin.astype(xp.uint32)) & _M
+
+
+def _borrow(xp, t):
+    """For t = a + 2^16 - b per limb (entries in [1, 2^17)): returns
+    (diff limbs of a - b mod 2^(16W), borrowed_out bool)."""
+    g = (t >> _SH) == 0          # this limb borrows on its own
+    p = t == np.uint32(1 << _B)  # borrow propagates through
+    bin_, bout = _ks_carry(xp, g, p)
+    diff = (t - bin_.astype(xp.uint32)) & _M
+    return diff, bout
+
+
+def _cond_sub_n(xp, res, top, mod: Modulus):
+    """value = top*2^256 + res (< 2n): subtract n when >= n."""
+    nl = xp.asarray(mod.limbs)
+    t = res + np.uint32(1 << _B) - nl
+    diff, borrowed = _borrow(xp, t)
+    ge_n = (top > 0) | ~borrowed
+    return xp.where(ge_n[..., None], diff, res)
+
+
+# Nested-jit dispatch: on the jax path each op is traced ONCE per
+# (modulus, operand shapes) and becomes a call in outer jaxprs — composite
+# kernels (point ops, butterflies) would otherwise retrace the limb
+# arithmetic at every call site, making trace time the bottleneck.
+_JIT_CACHE: dict = {}
+
+
+def _dispatch(xp, name: str, mod: Modulus, impl, *args):
+    if xp is np:
+        return impl(np, *args, mod)
+    key = (name, id(mod))
+    f = _JIT_CACHE.get(key)
+    if f is None:
+        import jax
+        import jax.numpy as jnp
+
+        def wrapped(*ops_args):
+            return impl(jnp, *ops_args, mod)
+
+        f = jax.jit(wrapped)
+        _JIT_CACHE[key] = f
+    return f(*args)
 
 
 def mont_mul(xp, a, b, mod: Modulus):
-    """Montgomery product a*b*R^-1 mod n. a, b canonical (< n) -> result < n.
+    """Montgomery product a*b*R^-1 mod n -> canonical (< n).
 
+    One operand may be any 256-bit value (< 2^256); at least one must be
+    canonical (< n) to keep the result < 2n before the final subtract.
     If one operand is in Montgomery form (v*R mod n), the result is the
-    plain modular product of the other operand with v — the convention used
-    throughout the data plane (twiddles live in Montgomery form).
+    plain modular product of the other operand with v — the convention
+    used throughout the data plane (twiddles live in Montgomery form).
     """
-    al = _split(xp, a)
-    bl = _split(xp, b)
-    zero = xp.zeros_like(al[0])
-    cols = [zero] * (2 * NLIMBS + 1)
+    return _dispatch(xp, "mul", mod, _mont_mul_impl, a, b)
 
-    # schoolbook columns, hi/lo split (every term exact in uint32)
-    for i in range(NLIMBS):
-        ai = al[i]
-        for j in range(NLIMBS):
-            p = ai * bl[j]
-            cols[i + j] = cols[i + j] + (p & _M)
-            cols[i + j + 1] = cols[i + j + 1] + (p >> _B)
 
-    # interleaved Montgomery reduction, 16-bit digits
-    n0inv = np.uint32(mod.n0inv)
-    nl = [np.uint32(x) for x in mod.limb_list]
-    carry = zero
-    for i in range(NLIMBS):
-        cur = cols[i] + carry
-        m = (cur * n0inv) & _M
-        t0 = m * nl[0]
-        cur = cur + (t0 & _M)
-        cols[i + 1] = cols[i + 1] + (t0 >> _B)
-        for j in range(1, NLIMBS):
-            t = m * nl[j]
-            cols[i + j] = cols[i + j] + (t & _M)
-            cols[i + j + 1] = cols[i + j + 1] + (t >> _B)
-        carry = cur >> _B
+def _mont_mul_impl(xp, a, b, mod: Modulus):
+    W = 2 * NLIMBS + 1
+    t_cols = _mul_cols(xp, a, b, W)              # T = a*b, entries < 2^21
+    t = _normalize(xp, t_cols)                   # (…, W+2) exact digits
 
-    # final carry propagation over the high half
-    res = []
-    for k in range(NLIMBS, 2 * NLIMBS):
-        cur = cols[k] + carry
-        res.append(cur & _M)
-        carry = cur >> _B
-    cur = cols[2 * NLIMBS] + carry  # < 2 (t/R < 2n < 2^257)
-    top = cur
+    # m = (T mod R) * N' mod R  — low half of a skew product
+    nprime = xp.asarray(mod.nprime)
+    pm = t[..., :NLIMBS, None] * nprime          # (…, 16, 16)
+    m_cols = (_skew_colsum(xp, pm & _M)[..., :NLIMBS]
+              + _shift_up(xp, _skew_colsum(xp, pm >> _SH)[..., :NLIMBS], 1))
+    m = _normalize(xp, m_cols)[..., :NLIMBS]
 
+    # S = T + m*N  (≡ 0 mod R); result = S / R < 2n
+    u_cols = _mul_cols(xp, m, xp.broadcast_to(xp.asarray(mod.limbs), m.shape), W)
+    s_cols = u_cols + t[..., :W]
+    s = _normalize(xp, s_cols)                   # (…, W+2)
+    res = s[..., NLIMBS:2 * NLIMBS]
+    top = s[..., 2 * NLIMBS]
     return _cond_sub_n(xp, res, top, mod)
 
 
-def _cond_sub_n(xp, res_lanes, top, mod: Modulus):
-    """Given value = top*2^256 + res (< 2n), subtract n when >= n."""
-    nl = [np.uint32(x) for x in mod.limb_list]
-    diff = []
-    borrow = xp.zeros_like(res_lanes[0])
-    base = np.uint32(1 << _B)
-    for k in range(NLIMBS):
-        t = res_lanes[k] + base - nl[k] - borrow
-        diff.append(t & _M)
-        borrow = np.uint32(1) - (t >> _B)
-    ge_n = (top > 0) | (borrow == 0)
-    out = [xp.where(ge_n, d, r) for d, r in zip(diff, res_lanes)]
-    return _join(xp, out)
-
-
 def add_mod(xp, a, b, mod: Modulus):
-    al = _split(xp, a)
-    bl = _split(xp, b)
-    res = []
-    carry = xp.zeros_like(al[0])
-    for k in range(NLIMBS):
-        t = al[k] + bl[k] + carry
-        res.append(t & _M)
-        carry = t >> _B
-    return _cond_sub_n(xp, res, carry, mod)
+    return _dispatch(xp, "add", mod, _add_mod_impl, a, b)
+
+
+def _add_mod_impl(xp, a, b, mod: Modulus):
+    a, b = xp.broadcast_arrays(a, b)
+    d = _normalize(xp, a + b)                    # (…, 18)
+    return _cond_sub_n(xp, d[..., :NLIMBS], d[..., NLIMBS], mod)
 
 
 def sub_mod(xp, a, b, mod: Modulus):
-    al = _split(xp, a)
-    bl = _split(xp, b)
-    nl = [np.uint32(x) for x in mod.limb_list]
-    base = np.uint32(1 << _B)
-    diff = []
-    borrow = xp.zeros_like(al[0])
-    for k in range(NLIMBS):
-        t = al[k] + base - bl[k] - borrow
-        diff.append(t & _M)
-        borrow = np.uint32(1) - (t >> _B)
+    return _dispatch(xp, "sub", mod, _sub_mod_impl, a, b)
+
+
+def _sub_mod_impl(xp, a, b, mod: Modulus):
+    a, b = xp.broadcast_arrays(a, b)
+    t = a + np.uint32(1 << _B) - b
+    diff, borrowed = _borrow(xp, t)
     # if borrowed, add n back
-    neg = borrow != 0
-    fixed = []
-    carry = xp.zeros_like(al[0])
-    for k in range(NLIMBS):
-        t = diff[k] + nl[k] + carry
-        fixed.append(t & _M)
-        carry = t >> _B
-    out = [xp.where(neg, f, d) for f, d in zip(fixed, diff)]
-    return _join(xp, out)
+    fixed = _normalize(xp, diff + xp.asarray(mod.limbs))[..., :NLIMBS]
+    return xp.where(borrowed[..., None], fixed, diff)
 
 
 def neg_mod(xp, a, mod: Modulus):
@@ -179,15 +250,9 @@ def eq(xp, a, b):
 
 
 def geq(xp, a, b):
-    """a >= b as (…,) bool, via borrow chain."""
-    al = _split(xp, a)
-    bl = _split(xp, b)
-    base = np.uint32(1 << _B)
-    borrow = xp.zeros_like(al[0])
-    for k in range(NLIMBS):
-        t = al[k] + base - bl[k] - borrow
-        borrow = np.uint32(1) - (t >> _B)
-    return borrow == 0
+    """a >= b as (…,) bool."""
+    _, borrowed = _borrow(xp, a + np.uint32(1 << _B) - b)
+    return ~borrowed
 
 
 def to_mont(xp, a, mod: Modulus):
@@ -199,14 +264,11 @@ def from_mont(xp, a, mod: Modulus):
 
 
 def mod_reduce(xp, a, mod: Modulus):
-    """Reduce an arbitrary (<2^256) limb value into [0, n): a*R^-1*R."""
-    # a may be >= n; mont_mul tolerates operands < 2^256 as long as the
-    # Montgomery bound holds: t = (a*b + m*n)/R with a < 2^256, b = R^2 < n
-    # gives t < (2^256*n + 2^256*n)/2^256 = 2n — still within _cond_sub_n.
+    """Reduce an arbitrary (< 2^256) limb value into [0, n)."""
     am = mont_mul(xp, a, const_limbs(xp, a, mod.r2_limbs), mod)
     return mont_mul(xp, am, const_limbs(xp, a, mod.one_limbs), mod)
 
 
 def get_bit(xp, a, bit: int):
     """Bit `bit` of each element, as uint32 0/1."""
-    return (a[..., bit // _B] >> np.uint32(bit % _B)) & np.uint32(1)
+    return (a[..., bit // _B] >> np.uint32(bit % _B)) & _ONE

@@ -54,45 +54,45 @@ def test_neg_matches_golden():
 
 
 def test_scalar_mul_matches_golden():
+    import jax.numpy as jnp
+
+    from porla_tpu.curves import kernels
+
     ops = secp256k1()
     cv = ecc.SECP256K1
     pts = _rand_points(cv, 4)
     ks = [0, 1, rng.getrandbits(256), cv.n + 5]  # incl. overflowed scalar
-    out = ops.scalar_mul(np, ops.from_affine(np, pts),
-                         limbs.ints_to_limbs(ks))
-    assert ops.to_affine(out) == [ecc.mul(cv, p, k) for p, k in zip(pts, ks)]
+    out = kernels.scalar_mul(ops, ops.from_affine(jnp, pts),
+                             jnp.asarray(limbs.ints_to_limbs(ks)))
+    assert ops.to_affine(kernels.to_host(out)) == [
+        ecc.mul(cv, p, k) for p, k in zip(pts, ks)]
 
 
 def test_scalar_mul_short_bits():
+    import jax.numpy as jnp
+
+    from porla_tpu.curves import kernels
+
     ops = secp256k1()
     cv = ecc.SECP256K1
     pts = _rand_points(cv, 3)
     ks = [rng.getrandbits(128) for _ in range(3)]
-    out = ops.scalar_mul(np, ops.from_affine(np, pts),
-                         limbs.ints_to_limbs(ks), nbits=128)
-    assert ops.to_affine(out) == [ecc.mul(cv, p, k) for p, k in zip(pts, ks)]
+    out = kernels.scalar_mul(ops, ops.from_affine(jnp, pts),
+                             jnp.asarray(limbs.ints_to_limbs(ks)), nbits=128)
+    assert ops.to_affine(kernels.to_host(out)) == [
+        ecc.mul(cv, p, k) for p, k in zip(pts, ks)]
 
 
 def test_msm_matches_golden():
-    ops = secp256k1()
-    cv = ecc.SECP256K1
-    for n in (1, 2, 5, 8):
-        pts = _rand_points(cv, n)
-        ks = [rng.getrandbits(64) for _ in range(n)]
-        out = ops.msm(np, ops.from_affine(np, pts),
-                      limbs.ints_to_limbs(ks))
-        assert ops.to_affine(out)[0] == ecc.msm(cv, pts, ks)
-
-
-def test_jax_scalar_mul_matches_numpy():
     import jax.numpy as jnp
 
+    from porla_tpu.curves import kernels
+
     ops = secp256k1()
     cv = ecc.SECP256K1
-    pts = _rand_points(cv, 2)
-    ks = [rng.getrandbits(256) for _ in range(2)]
-    jp = ops.from_affine(jnp, pts)
-    out = ops.scalar_mul(jnp, jp, jnp.asarray(limbs.ints_to_limbs(ks)))
-    from porla_tpu.curves.weierstrass import JacPoint
-    out_np = JacPoint(*[np.asarray(v) for v in out])
-    assert ops.to_affine(out_np) == [ecc.mul(cv, p, k) for p, k in zip(pts, ks)]
+    for n in (1, 2, 5):
+        pts = _rand_points(cv, n)
+        ks = [rng.getrandbits(64) for _ in range(n)]
+        out = kernels.msm(ops, ops.from_affine(jnp, pts),
+                          jnp.asarray(limbs.ints_to_limbs(ks)), nbits=64)
+        assert ops.to_affine(kernels.to_host(out))[0] == ecc.msm(cv, pts, ks)
