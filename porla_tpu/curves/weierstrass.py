@@ -251,28 +251,29 @@ class CurveOps:
         return JacPoint(*res)
 
     def tree_sum(self, xp, p: JacPoint, axis: int = 0) -> JacPoint:
-        """Point-add reduction along `axis` via log-depth pairwise adds."""
+        """Point-add reduction along `axis` (log-depth).
+
+        Shape-constant: each step adds the array to itself shifted by a
+        power of two with infinity masking, so a jitted reduction of N
+        points is ONE executable (shapes never change mid-reduction) —
+        important because point-add graphs are expensive to compile."""
         assert axis == 0, "reduce leading axis; move it first"
         n = p.x.shape[0]
-        while n > 1:
-            half = n // 2
-            if n % 2:
-                lo = JacPoint(p.x[:half], p.y[:half], p.z[:half])
-                hi = JacPoint(p.x[half:2 * half], p.y[half:2 * half],
-                              p.z[half:2 * half])
-                rest = JacPoint(p.x[2 * half:], p.y[2 * half:], p.z[2 * half:])
-                s = self.add(xp, lo, hi)
-                p = JacPoint(
-                    xp.concatenate([s.x, rest.x], axis=0),
-                    xp.concatenate([s.y, rest.y], axis=0),
-                    xp.concatenate([s.z, rest.z], axis=0))
-                n = half + 1
-            else:
-                lo = JacPoint(p.x[:half], p.y[:half], p.z[:half])
-                hi = JacPoint(p.x[half:], p.y[half:], p.z[half:])
-                p = self.add(xp, lo, hi)
-                n = half
-        return p
+        shift = 1
+        inf = self.infinity(xp, ())
+        while shift < n:
+            # partner[i] = p[i + shift] (infinity beyond the end)
+            def shifted(a, fill):
+                tail = xp.broadcast_to(fill, (shift,) + a.shape[1:])
+                return xp.concatenate([a[shift:], tail], axis=0)
+            partner = JacPoint(shifted(p.x, inf.x), shifted(p.y, inf.y),
+                               shifted(p.z, inf.z))
+            summed = self.add(xp, p, partner)
+            # only lanes i with i % (2*shift) == 0 matter downstream; keep
+            # all (cheaper than masking) — stride-indexing happens at the end
+            p = summed
+            shift <<= 1
+        return JacPoint(p.x[:1], p.y[:1], p.z[:1])
 
     def msm(self, xp, points: JacPoint, scalars, nbits: int = 256) -> JacPoint:
         """Multi-scalar multiplication over the leading axis:

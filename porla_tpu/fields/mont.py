@@ -98,47 +98,73 @@ def _mul_cols(xp, a, b, width: int):
     return _pad_last(xp, lo, 0, width) + _pad_last(xp, hi, 1, width)
 
 
-def _ks_carry(xp, g, p):
-    """Kogge-Stone inclusive scan of (generate, propagate) carry pairs
-    along the limb axis. Returns (carry_in per limb, carry_out of last)."""
+def _resolve_carries(xp, g, p):
+    """Exact carry resolution for disjoint (generate, propagate) limb flags
+    (g & p == 0 elementwise) via the adder-emulation trick:
+
+    with A = g|p, B = g (so A&B = g, A^B = p), the carry bits of the
+    integer addition A+B are exactly the chain carries — so
+    cin_mask = (A + B) ^ (A ^ B) = ((g|p) + g) ^ p, THREE integer ops on
+    bit-packed masks instead of a log-depth scan. Limb flags are packed
+    into 32-bit words; multi-word widths chain the word carry through the
+    same identity (an incoming word carry adds into bit 0 and falls out of
+    the XOR automatically).
+
+    g, p: (…, W) uint32 0/1 flags. Returns (cin (…, W) uint32 0/1,
+    carry_out (…,) uint32 0/1 of the top limb).
+    """
     W = g.shape[-1]
-    s = 1
-    G, P = g, p
-    while s < W:
-        Gs = _shift_up(xp, G, s)
-        Ps = _shift_up(xp, P, s)
-        G = G | (P & Gs)
-        P = P & Ps
-        s <<= 1
-    cin = _shift_up(xp, G, 1)
-    return cin, G[..., W - 1]
+    cins = []
+    carry = None
+    for w0 in range(0, W, 32):
+        wlen = min(32, W - w0)
+        pw2 = np.asarray([1 << k for k in range(wlen)], dtype=np.uint32)
+        gw = xp.sum(g[..., w0:w0 + wlen] * pw2, axis=-1, dtype=xp.uint32)
+        pw = xp.sum(p[..., w0:w0 + wlen] * pw2, axis=-1, dtype=xp.uint32)
+        s = (gw | pw) + gw
+        if carry is not None:
+            s = s + carry
+        cin_w = s ^ pw
+        if wlen == 32:
+            # carry out of the word: recompute top bit exactly — bit 32 of
+            # (A+B+carry) wrapped; derive from generate/propagate at bit 31
+            top_cin = (cin_w >> np.uint32(31)) & _ONE
+            top_g = (gw >> np.uint32(31)) & _ONE
+            top_p = (pw >> np.uint32(31)) & _ONE
+            carry = top_g | (top_p & top_cin)
+        else:
+            carry = (cin_w >> np.uint32(wlen)) & _ONE
+        shifts = np.asarray(range(wlen), dtype=np.uint32)
+        cins.append((cin_w[..., None] >> shifts) & _ONE)
+    cin = xp.concatenate(cins, axis=-1) if len(cins) > 1 else cins[0]
+    return cin, carry
 
 
 def _normalize(xp, cols):
     """Exact base-2^16 digits of a column representation.
 
-    cols: (…, W) with entries < 2^23 -> digits (…, W+2) each < 2^16.
+    cols: (…, W) with entries < 2^31 -> digits (…, W+2) each < 2^16.
     """
     W = cols.shape[-1]
-    c1 = cols >> _SH                                   # < 2^7
+    c1 = cols >> _SH                                   # < 2^15
     v = _pad_last(xp, cols & _M, 0, W + 1) + _pad_last(xp, c1, 1, W + 1)
     c2 = v >> _SH                                      # {0, 1}
     v2 = _pad_last(xp, v & _M, 0, W + 2) + _pad_last(xp, c2, 1, W + 2)
-    # v2 entries <= 2^16: carries are now 0/1 -> Kogge-Stone
-    g = v2 >> _SH != 0                                 # generates carry
-    p = (v2 & _M) == _M                                # propagates carry
-    cin, _ = _ks_carry(xp, g, p)
-    return (v2 + cin.astype(xp.uint32)) & _M
+    # v2 entries <= 2^16: carries are now 0/1 and g/p are disjoint
+    g = v2 >> _SH                                      # generates carry
+    p = ((v2 & _M) == _M).astype(xp.uint32)            # propagates carry
+    cin, _ = _resolve_carries(xp, g, p)
+    return (v2 + cin) & _M
 
 
 def _borrow(xp, t):
     """For t = a + 2^16 - b per limb (entries in [1, 2^17)): returns
     (diff limbs of a - b mod 2^(16W), borrowed_out bool)."""
-    g = (t >> _SH) == 0          # this limb borrows on its own
-    p = t == np.uint32(1 << _B)  # borrow propagates through
-    bin_, bout = _ks_carry(xp, g, p)
-    diff = (t - bin_.astype(xp.uint32)) & _M
-    return diff, bout
+    g = (t >> _SH) ^ _ONE                       # borrows on its own
+    p = (t == np.uint32(1 << _B)).astype(xp.uint32)  # borrow propagates
+    bin_, bout = _resolve_carries(xp, g, p)
+    diff = (t - bin_) & _M
+    return diff, bout != 0
 
 
 def _cond_sub_n(xp, res, top, mod: Modulus):
@@ -186,21 +212,31 @@ def mont_mul(xp, a, b, mod: Modulus):
     return _dispatch(xp, "mul", mod, _mont_mul_impl, a, b)
 
 
+def _low_mul_cols(xp, a, b_const):
+    """Low 16 columns of a*b for canonical 16-bit limbs a (mod 2^256)."""
+    pm = a[..., :, None] * b_const
+    return (_skew_colsum(xp, pm & _M)[..., :NLIMBS]
+            + _shift_up(xp, _skew_colsum(xp, pm >> _SH)[..., :NLIMBS], 1))
+
+
 def _mont_mul_impl(xp, a, b, mod: Modulus):
     W = 2 * NLIMBS + 1
     t_cols = _mul_cols(xp, a, b, W)              # T = a*b, entries < 2^21
-    t = _normalize(xp, t_cols)                   # (…, W+2) exact digits
 
-    # m = (T mod R) * N' mod R  — low half of a skew product
+    # m = (T mod R) * N' mod R, computed from T's REDUNDANT low columns:
+    # T_low = A + 2^16*B with A = cols & M (16-bit), B = cols >> 16
+    # (< 2^5), so T_low*N' = A*N' + 2^16*(B*N') — B's partial products fit
+    # uint32 without hi/lo splitting. Skips normalizing T entirely.
     nprime = xp.asarray(mod.nprime)
-    pm = t[..., :NLIMBS, None] * nprime          # (…, 16, 16)
-    m_cols = (_skew_colsum(xp, pm & _M)[..., :NLIMBS]
-              + _shift_up(xp, _skew_colsum(xp, pm >> _SH)[..., :NLIMBS], 1))
-    m = _normalize(xp, m_cols)[..., :NLIMBS]
+    tl = t_cols[..., :NLIMBS]
+    m_cols = _low_mul_cols(xp, tl & _M, nprime)
+    pm_hi = (tl >> _SH)[..., :, None] * nprime   # < 2^21 exact
+    m_cols = m_cols + _shift_up(xp, _skew_colsum(xp, pm_hi)[..., :NLIMBS], 1)
+    m = _normalize(xp, m_cols)[..., :NLIMBS]     # canonical (< R)
 
     # S = T + m*N  (≡ 0 mod R); result = S / R < 2n
-    u_cols = _mul_cols(xp, m, xp.broadcast_to(xp.asarray(mod.limbs), m.shape), W)
-    s_cols = u_cols + t[..., :W]
+    u_cols = _mul_cols(xp, m, xp.asarray(mod.limbs), W)
+    s_cols = u_cols + t_cols
     s = _normalize(xp, s_cols)                   # (…, W+2)
     res = s[..., NLIMBS:2 * NLIMBS]
     top = s[..., 2 * NLIMBS]

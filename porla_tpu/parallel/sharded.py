@@ -1,0 +1,148 @@
+"""Multi-chip sharding: distributed NTT and sharded commitments.
+
+The reference's only parallelism is an 8-thread pool with static index
+splits (SURVEY §2.3). The TPU-native scale-out:
+
+- **Distributed NTT** (`sharded_encode`): the block axis is sharded over
+  the mesh's "blocks" axis. Butterfly stages whose span fits in a shard
+  are local; larger strides exchange whole shards with their partner
+  (shard XOR stride/shard_size) via `jax.lax.ppermute` — each side then
+  keeps its own butterfly output. This is the direct analogue of the
+  reference's two-regime thread split over butterfly columns
+  (Server.hpp:1564-1686), mapped onto ICI instead of shared memory.
+
+- **Sharded Pedersen commitments** (`sharded_commit`): blocks are data-
+  parallel over "blocks"; the 128-generator MSM is tensor-parallel over
+  "chunks" — each chunk shard computes a partial MSM over its generator
+  slice, and partials are combined with an all-gather + local point-add
+  tree (group elements do not psum).
+
+Twiddle tables are precomputed per stage on the host as sharded arrays
+(entry g holds v^(g mod m2)), so both sides of an exchanged pair read the
+same factor.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from porla_tpu.curves.instances import secp256k1
+from porla_tpu.curves.weierstrass import JacPoint
+from porla_tpu.fields import constants as C
+from porla_tpu.fields import limbs, mont
+from porla_tpu.ntt.engine import NttContext, _MOD_P
+
+
+def make_mesh(devices=None, tp: int | None = None) -> Mesh:
+    """Mesh over all devices: ("blocks", "chunks"). tp divides the chunk
+    axis (default 2 when the device count allows)."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if tp is None:
+        tp = 2 if n % 2 == 0 and n > 1 else 1
+    dp = n // tp
+    arr = np.asarray(devices).reshape(dp, tp)
+    return Mesh(arr, ("blocks", "chunks"))
+
+
+def stage_twiddle_tables(ctx: NttContext, mod: mont.Modulus):
+    """Per-stage (n, 16) Montgomery twiddle arrays: entry g = v_s^(g mod m2)
+    (v_s = w^(n/m2)). Sharding row-wise matches the data sharding."""
+    n = ctx.n
+    tables = []
+    for s in range(1, ctx.height):
+        m2 = 1 << (s - 1)
+        tw = ctx.twiddles(m2)   # (m2, 16) std/mont
+        src = tw.mont_p if mod is _MOD_P else tw.mont_q
+        idx = np.arange(n) % m2
+        tables.append(np.asarray(src)[idx])
+    return tables
+
+
+def sharded_encode_fn(ctx: NttContext, mesh: Mesh, mod: mont.Modulus):
+    """Builds a jittable f(arr, *twiddle_tables) running all NTT stages of
+    one lane over the mesh. arr: (n, C, 16) sharded on axis 0."""
+    n = ctx.n
+    nblk = mesh.shape["blocks"]
+    n_loc = n // nblk
+    height = ctx.height
+
+    def local_stage(a, tw, m: int, m2: int):
+        L = a.shape[0]
+        a2 = a.reshape((L // m, m) + a.shape[1:])
+        u, t_in = a2[:, :m2], a2[:, m2:]
+        twl = tw.reshape((L // m, m) + (1, limbs.NLIMBS))[:, :m2]
+        t = mont.mont_mul(jnp, t_in, twl, mod)
+        hi = mont.add_mod(jnp, u, t, mod)
+        lo = mont.sub_mod(jnp, u, t, mod)
+        return jnp.concatenate([hi, lo], axis=1).reshape(a.shape)
+
+    def exchange_stage(a, tw, shard_shift: int):
+        me = jax.lax.axis_index("blocks")
+        nb = nblk
+        perm = [(d, d ^ shard_shift) for d in range(nb)]
+        other = jax.lax.ppermute(a, "blocks", perm)
+        am_hi = (me & shard_shift) == 0
+        u = jnp.where(am_hi, a, other)
+        t_in = jnp.where(am_hi, other, a)
+        twl = tw[:, None, :]
+        t = mont.mont_mul(jnp, t_in, twl, mod)
+        hi = mont.add_mod(jnp, u, t, mod)
+        lo = mont.sub_mod(jnp, u, t, mod)
+        return jnp.where(am_hi, hi, lo)
+
+    def body(a, *tables):
+        for s in range(1, height):
+            m = 1 << s
+            m2 = m >> 1
+            tw = tables[s - 1]
+            if m <= n_loc:
+                a = local_stage(a, tw, m, m2)
+            else:
+                a = exchange_stage(a, tw, m2 // n_loc)
+        return a
+
+    spec_a = P("blocks")
+    spec_t = P("blocks")
+    from jax.experimental.shard_map import shard_map
+    fn = shard_map(body, mesh=mesh,
+                   in_specs=(spec_a,) + (spec_t,) * (height - 1),
+                   out_specs=spec_a)
+    return jax.jit(fn)
+
+
+def sharded_commit_fn(mesh: Mesh, nbits: int = 256):
+    """Builds f(gx, gy, gz, scalars) -> (B,) commitment points where the
+    generator/chunk axis is sharded over "chunks" and blocks over "blocks".
+    Partial per-shard MSMs are combined with an all-gather + local adds."""
+    ops = secp256k1()
+
+    def body(gx, gy, gz, scalars):
+        # gx: (NG_loc, 16); scalars: (B_loc, NG_loc, 16)
+        parts = ops.scalar_mul(
+            jnp, JacPoint(gx[None], gy[None], gz[None]), scalars, nbits)
+        parts = JacPoint(jnp.moveaxis(parts.x, 1, 0),
+                         jnp.moveaxis(parts.y, 1, 0),
+                         jnp.moveaxis(parts.z, 1, 0))
+        local = ops.tree_sum(jnp, parts, axis=0)  # (1, B_loc, 16)
+        # combine chunk-shard partials: gather then local point-add chain
+        gathered = jax.lax.all_gather(tuple(local), "chunks")  # (tp, 1, B, 16)
+        acc = JacPoint(gathered[0][0], gathered[1][0], gathered[2][0])
+        ntp = gathered[0].shape[0]
+        for i in range(1, ntp):
+            acc = ops.add(jnp, acc, JacPoint(
+                gathered[0][i], gathered[1][i], gathered[2][i]))
+        return tuple(JacPoint(acc.x[0], acc.y[0], acc.z[0]))
+
+    from jax.experimental.shard_map import shard_map
+    fn = shard_map(
+        body, mesh=mesh,
+        in_specs=(P("chunks"), P("chunks"), P("chunks"),
+                  P("blocks", "chunks")),
+        out_specs=(P("blocks"), P("blocks"), P("blocks")))
+    return jax.jit(fn)

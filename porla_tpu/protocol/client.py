@@ -1,0 +1,287 @@
+"""Porla client: O(1) secret state, commitments, MAC complements, audits.
+
+Reimplements the reference client (porla/Client/Client.hpp) against the
+TPU compute stack. The client keeps only the secret scalar alpha and the
+AES PRF key; every MAC complement h^PRF(level,index,write_step) is
+re-derived on demand (Client.hpp:42-46, 423-455).
+
+Deliberate deviation from the reference: during initialize the reference
+computes its complement fold at write_step = 1 while the server rebuilds
+at write_step = 0 (Client.hpp:180 vs Server.hpp:218), which leaves the
+initial level-C complements inconsistent until the first full epoch
+rebuild — their self-test only audits after a full epoch so it never
+trips. We run the whole initialize at write_step = 0 on both sides, so
+audits verify immediately.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from porla_tpu.config import BLOCK_SIZE, NUM_CHUNKS, PorlaConfig
+from porla_tpu.commit import ipa, pedersen
+from porla_tpu.crypto.aes import MacPrf, Prg
+from porla_tpu.crypto import testrand
+from porla_tpu.curves import kernels as ck
+from porla_tpu.curves.instances import secp256k1
+from porla_tpu.curves.weierstrass import JacPoint
+from porla_tpu.fields import limbs
+from porla_tpu.golden import ecc
+from porla_tpu.ntt.engine import NttContext, reverse_bits
+from porla_tpu.protocol import auditing, compute, hlog, points_io
+from porla_tpu.protocol.hlog import Level, Planes
+
+
+class AuditError(AssertionError):
+    pass
+
+
+class PorlaClient:
+    def __init__(self, config: PorlaConfig, transport, data_seed: bytes | None = None):
+        assert config.scheme == "ipa"
+        self.config = config
+        self.transport = transport  # callable: bytes -> bytes (REQ/REP)
+        self.alpha = int.from_bytes(config.secret_key, "little")  # 128-bit
+        self.prf = MacPrf(config.secret_key)
+        self.h = testrand.derive_h_mac()
+        self.data_rng = Prg(data_seed or os.urandom(16), 1)
+        self.audit_seed_rng = Prg(os.urandom(16), 2)
+        self.write_step = 0
+
+    # ----------------------------------------------------------------- data
+
+    def create_data_block(self, block_id: int) -> list[int]:
+        """Chunk 0 is the block id; the rest are random 256-bit values
+        (Client.hpp:367-372)."""
+        chunks = [block_id]
+        raw = self.data_rng.random_data(32 * (NUM_CHUNKS - 1))
+        chunks += [int.from_bytes(raw[i * 32:(i + 1) * 32], "little")
+                   for i in range(NUM_CHUNKS - 1)]
+        return chunks
+
+    @staticmethod
+    def block_bytes(chunks: list[int]) -> bytes:
+        return b"".join(c.to_bytes(32, "little") for c in chunks)
+
+    # ----------------------------------------------------- MAC complements
+
+    def _complement_scalars(self, records) -> list[int]:
+        return self.prf.prf_scalars_ipa(records)
+
+    def complement_points(self, records) -> JacPoint:
+        """Batched h^PRF(level,index,step) as JacPoint (N,)."""
+        rs = self._complement_scalars(records)
+        ops = secp256k1()
+        h_rep = ops.from_affine(np, [self.h] * len(rs))
+        return hlog.host_point(
+            compute.point_scale(h_rep, limbs.ints_to_limbs(rs), nbits=128))
+
+    # ----------------------------------------------------------- initialize
+
+    def initialize(self, num_blocks: int) -> None:
+        self.num_blocks = num_blocks
+        self.ctx = NttContext(num_blocks, "ipa")
+        self.height = self.ctx.height
+        self.mod_q = self.ctx.mod_q
+        self.write_step = 0
+
+        reply = self.transport(b"GET GENERATORS")
+        pts = points_io.points_from_bytes(reply)
+        ops = secp256k1()
+        affine = ops.to_affine(pts)
+        self.generators = ops.from_affine(np, affine[:NUM_CHUNKS])
+        self.u = affine[NUM_CHUNKS]
+        self.alpha_gens = pedersen.alpha_generators(self.alpha)
+
+        self.transport(num_blocks.to_bytes(4, "little"))
+
+        compl_pts_all = []
+        i = 0
+        while i < num_blocks:
+            count = min(self.config.max_blocks_sent, num_blocks - i)
+            blocks = [self.create_data_block(i + k + 1) for k in range(count)]
+            scalars = np.stack([limbs.ints_to_limbs(b) for b in blocks])
+            commits = pedersen.commit_blocks(self.alpha_gens, scalars)
+            compl = self.complement_points(
+                [(0, i + k + 1, self.write_step) for k in range(count)])
+            compl_pts_all.append(compl)
+            macs = ck.add(secp256k1(), commits, ck.to_device(compl))
+            macs_b = points_io.points_to_bytes(ck.to_host(macs))
+            msg = b"".join(
+                self.block_bytes(b) + macs_b[k * 96:(k + 1) * 96]
+                for k, b in enumerate(blocks))
+            self.transport(msg)
+            i += count
+
+        complements_u = compl_pts_all[0]
+        for extra in compl_pts_all[1:]:
+            complements_u = hlog.concat_points(complements_u, extra)
+
+        folded_x, folded_y = self._complement_crebuild(complements_u)
+        deltas = self._fresh_minus_folded(self.height - 1, folded_x, folded_y)
+        self.transport(deltas)
+
+    def _complement_crebuild(self, complements_u: JacPoint):
+        """Client-side CRebuild over complements (Client.hpp:1040-1453)."""
+        n = self.num_blocks
+        ctx = self.ctx
+        wt = ctx.wt_scalar(self.write_step)
+        cx = complements_u
+        wt_rep = np.broadcast_to(wt.std[0], (n, limbs.NLIMBS))
+        cy = hlog.host_point(compute.point_scale(complements_u, wt_rep))
+        for s in range(1, self.height):
+            cx = self._stage(s, cx)
+            cy = self._stage(s, cy)
+        return cx, cy
+
+    def _stage(self, s: int, macs: JacPoint) -> JacPoint:
+        n = self.num_blocks
+        m = 1 << s
+        m2 = m >> 1
+        tw = self.ctx.twiddles(m2)
+
+        def split(a):
+            a2 = np.asarray(a).reshape((n // m, m) + a.shape[1:])
+            return (a2[:, :m2].reshape((n // 2,) + a.shape[1:]),
+                    a2[:, m2:].reshape((n // 2,) + a.shape[1:]))
+
+        def join(hi, lo, like):
+            h = np.asarray(hi).reshape((n // m, m2) + like.shape[1:])
+            l2 = np.asarray(lo).reshape((n // m, m2) + like.shape[1:])
+            return np.concatenate([h, l2], axis=1).reshape(like.shape)
+
+        tw_tiled = type(tw)(np.tile(tw.std, (n // m, 1)),
+                            np.tile(tw.mont_p, (n // m, 1)),
+                            np.tile(tw.mont_q, (n // m, 1)))
+        u_pts = JacPoint(*[split(c)[0] for c in macs])
+        t_pts = JacPoint(*[split(c)[1] for c in macs])
+        his, los = compute.point_butterfly([u_pts], [t_pts], tw_tiled)
+        hi, lo = hlog.host_point(his[0]), hlog.host_point(los[0])
+        return JacPoint(join(hi.x, lo.x, np.asarray(macs.x)),
+                        join(hi.y, lo.y, np.asarray(macs.y)),
+                        join(hi.z, lo.z, np.asarray(macs.z)))
+
+    def _fresh_minus_folded(self, level: int, folded_x: JacPoint,
+                            folded_y: JacPoint) -> bytes:
+        """delta_i = h^PRF(level, i, ws) - folded_i for i in [0, 2^(l+1))
+        (Client.hpp:256-306 / :584-614)."""
+        l = 1 << level
+        fresh = self.complement_points(
+            [(level, i, self.write_step) for i in range(2 * l)])
+        folded = hlog.concat_points(folded_x, folded_y)
+        ops = secp256k1()
+        delta = ck.add(ops, ck.to_device(fresh),
+                       ck.to_device(ops.neg(np, folded)))
+        return points_io.points_to_bytes(ck.to_host(delta))
+
+    # --------------------------------------------------------------- update
+
+    def update(self, block_id: int) -> None:
+        chunks = self.create_data_block(block_id)
+        compl = self.complement_points([(0, block_id, self.write_step)])
+        commit = pedersen.commit_blocks(
+            self.alpha_gens, limbs.ints_to_limbs(chunks)[None])
+        mac = ck.add(secp256k1(), commit, ck.to_device(compl))
+        mac_b = points_io.points_to_bytes(ck.to_host(mac))
+
+        self.write_step += 1
+        if self.write_step % self.num_blocks == 0:
+            base = self.write_step - self.num_blocks
+            recs = [(0, i + 1, base + i) for i in range(self.num_blocks)]
+            complements_u = self.complement_points(recs)
+            folded_x, folded_y = self._complement_crebuild(complements_u)
+            updated_level = self.height - 1
+        else:
+            updated_level = 0
+            while ((self.write_step >> updated_level) & 1) == 0:
+                updated_level += 1
+            folded_x, folded_y = self._replay_fold(updated_level, compl)
+
+        deltas = self._fresh_minus_folded(updated_level, folded_x, folded_y)
+        msg = (b"U" + self.block_bytes(chunks) + mac_b + deltas)
+        self.transport(msg)
+
+    def _replay_fold(self, level: int, new_compl: JacPoint):
+        """Recompute the folded complements for the level being formed by
+        replaying formation write-steps of levels 0..level-1
+        (Client.hpp:505-536) and folding (HAdd on complements)."""
+        ws = self.write_step
+        wt = self.ctx.wt_scalar(ws)
+        b2 = hlog.host_point(compute.point_scale(new_compl, wt.std))
+        if level == 0:
+            return new_compl, b2
+
+        levels = [Level(Planes(), Planes()) for _ in range(level + 1)]
+        time_step_value = ws & ~(1 << level)
+        for i in range(level - 1, -1, -1):
+            time_step_value |= (1 << i)
+            sz = 1 << i
+            x = self.complement_points(
+                [(i, j, time_step_value) for j in range(sz)])
+            y = self.complement_points(
+                [(i, j + sz, time_step_value) for j in range(sz)])
+            levels[i].x = Planes(points={"c": x})
+            levels[i].y = Planes(points={"c": y})
+            levels[i].empty = False
+
+        slot_x = Planes(points={"c": new_compl})
+        slot_y = Planes(points={"c": b2})
+        hlog.fold_to_level(self.ctx, levels, level, slot_x, slot_y)
+        return (levels[level].x.points["c"], levels[level].y.points["c"])
+
+    # ---------------------------------------------------------------- audit
+
+    def audit(self, seed: bytes | None = None) -> None:
+        ws = self.write_step
+        n = self.num_blocks
+        if seed is None:
+            seed = self.audit_seed_rng.random_block(1)
+
+        plan = auditing.build_audit_plan(seed, ws, n, self.height)
+        reply = self.transport(b"A" + seed)
+
+        # complements for the sampled positions, at each level's masked step
+        by_level: dict[int, list[int]] = {}
+        for k, s in enumerate(plan.samples):
+            by_level.setdefault(s.level, []).append(k)
+        records = [None] * len(plan.samples)
+        for level, idxs in by_level.items():
+            mws = auditing.masked_write_step(ws, level)
+            sz = 1 << level
+            for k in idxs:
+                s = plan.samples[k]
+                index = s.index if s.is_x else s.index + sz
+                records[k] = (level, index, mws)
+        compl = self.complement_points(records)
+        coeffs = [s.coeff for s in plan.samples]
+        ops = secp256k1()
+        combined_compl = ops.to_affine(ck.to_host(ck.msm(
+            ops, ck.to_device(compl), limbs.ints_to_limbs(coeffs),
+            nbits=32)))[0]
+
+        cv = ecc.SECP256K1
+        commitment = ecc.secp_parse_compressed(reply[0:33])
+        combined_mac = ecc.secp_parse_compressed(reply[33:66])
+        combined_align = ecc.secp_parse_compressed(reply[66:99])
+        proof = reply[99:]
+
+        lhs = ecc.add(cv, ecc.mul(cv, commitment, self.alpha), combined_compl)
+        rhs = ecc.add(cv, combined_mac,
+                      ecc.mul(cv, combined_align, self.alpha))
+        if lhs != rhs:
+            raise AuditError("MAC equation failed: data loss detected")
+
+        ipa.verify(commitment, proof, ck.to_device(self.generators), self.u)
+
+    # ------------------------------------------------------------ self test
+
+    def self_test(self, epochs: int = 1, audits_per_epoch: int = 1) -> None:
+        """Reduced version of the reference driver (Client.hpp:894-919)."""
+        for _ in range(epochs):
+            for i in range(self.num_blocks):
+                self.update(i + 1)
+                if i == self.num_blocks - 1:
+                    for _ in range(audits_per_epoch):
+                        self.audit()

@@ -1,0 +1,323 @@
+"""Porla server: stores the database, maintains the hierarchical log with
+homomorphic MACs, answers updates and audits.
+
+Reimplements the reference server's semantics (porla/Server/Server.hpp) on
+the TPU compute stack: data plane = CRT limb tensors, MAC plane = batched
+Jacobian point kernels. Message framing mirrors the reference's
+REQ/REP flow (opcodes 'U'/'A', Server.hpp:933-952); MAC wire format is
+this framework's 96-byte Jacobian triple (protocol/points_io.py), and
+audit replies keep the reference's 33-byte compressed points + IPA proof
+layout (Server.hpp:880-894).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from porla_tpu.config import BLOCK_SIZE, NUM_CHUNKS, PorlaConfig
+from porla_tpu.commit import ipa, pedersen
+from porla_tpu.curves import kernels as ck
+from porla_tpu.curves.instances import secp256k1
+from porla_tpu.curves.weierstrass import JacPoint
+from porla_tpu.fields import limbs
+from porla_tpu.golden import ecc
+from porla_tpu.ntt import engine
+from porla_tpu.ntt.engine import CrtArray, NttContext
+from porla_tpu.protocol import auditing, compute, hlog, points_io
+from porla_tpu.protocol.hlog import Level, Planes
+from porla_tpu.storage.store import BlockStore
+
+
+class PorlaServer:
+    def __init__(self, config: PorlaConfig):
+        assert config.scheme == "ipa", "KZG scheme lands in the bn254 module"
+        self.config = config
+        self.store = BlockStore(config.storage_dir)
+        self.generators, self.u, self._gens_affine = pedersen.ipa_generators()
+        self.num_blocks = 0
+        self.write_step = 0
+        self._state = "generators"
+
+    # ------------------------------------------------------------------ wire
+
+    def handle(self, msg: bytes) -> bytes:
+        if self._state == "generators":
+            assert msg == b"GET GENERATORS"
+            self._state = "num_blocks"
+            pts = self._gens_affine + [self.u]
+            ops = secp256k1()
+            return points_io.points_to_bytes(ops.from_affine(np, pts))
+        if self._state == "num_blocks":
+            self._setup(int.from_bytes(msg[:4], "little"))
+            self._state = "blocks"
+            return b"OK: awaiting blocks"
+        if self._state == "blocks":
+            self._recv_blocks(msg)
+            if self._blocks_received == self.num_blocks:
+                self._state = "deltas"
+            return f"RECEIVED {len(msg)} BYTES FROM CLIENT.".encode()
+        if self._state == "deltas":
+            reply = f"RECEIVED {len(msg)} BYTES FROM CLIENT.".encode()
+            self._crebuild()
+            self._absorb_deltas(self.height - 1, msg)
+            self._state = "ready"
+            return reply
+        op = msg[:1]
+        if op == b"U":
+            return self.update(msg[1:])
+        if op == b"A":
+            return self.audit(msg[1:17])
+        raise ValueError(f"unknown opcode {op!r}")
+
+    # ----------------------------------------------------------------- setup
+
+    def _setup(self, num_blocks: int) -> None:
+        self.num_blocks = num_blocks
+        self.ctx = NttContext(num_blocks, "ipa")
+        self.height = self.ctx.height
+        self.mod_q = self.ctx.mod_q
+        self.write_step = 0
+        self.levels = [Level(Planes(), Planes()) for _ in range(self.height)]
+        self.mac_u = hlog.infinity_points(num_blocks)
+        self._blocks_received = 0
+
+    def _recv_blocks(self, msg: bytes) -> None:
+        rec = BLOCK_SIZE + points_io.MAC_WIRE_SIZE
+        assert len(msg) % rec == 0
+        count = len(msg) // rec
+        for k in range(count):
+            data = msg[k * rec:k * rec + BLOCK_SIZE]
+            mac = msg[k * rec + BLOCK_SIZE:(k + 1) * rec]
+            i = self._blocks_received
+            self.store.write_block(i, data)
+            pt = points_io.points_from_bytes(mac)
+            self.mac_u = hlog.host_point(JacPoint(
+                _set_row(self.mac_u.x, i, pt.x[0]),
+                _set_row(self.mac_u.y, i, pt.y[0]),
+                _set_row(self.mac_u.z, i, pt.z[0])))
+            self._blocks_received += 1
+
+    def _absorb_deltas(self, level: int, msg: bytes) -> None:
+        """Add complement deltas into MAC_commitments_H[level]
+        (Server.hpp:289-307, 449-469)."""
+        deltas = points_io.points_from_bytes(msg)
+        l = 1 << level
+        assert deltas.x.shape[0] == 2 * l
+        lv = self.levels[level]
+        dx = JacPoint(deltas.x[:l], deltas.y[:l], deltas.z[:l])
+        dy = JacPoint(deltas.x[l:], deltas.y[l:], deltas.z[l:])
+        ops = secp256k1()
+        lv.x.points["c"] = hlog.host_point(
+            ck.add(ops, ck.to_device(lv.x.points["c"]), ck.to_device(dx)))
+        lv.y.points["c"] = hlog.host_point(
+            ck.add(ops, ck.to_device(lv.y.points["c"]), ck.to_device(dy)))
+
+    # ------------------------------------------------------------- rebuild
+
+    def _crebuild(self) -> None:
+        """CRebuild_Cached (Server.hpp:1487-1833): rebuild level C from U."""
+        n = self.num_blocks
+        ctx = self.ctx
+        wt = ctx.wt_scalar(self.write_step)
+
+        data_x = self.store.read_blocks_crt(range(n), self.mod_q)
+        data_y = hlog.host_crt(compute.scale_crt(self.mod_q, data_x, wt))
+
+        mc_x = self.mac_u
+        wt_rep = np.broadcast_to(wt.std[0], (n, limbs.NLIMBS))
+        mc_y = hlog.host_point(compute.point_scale(self.mac_u, wt_rep))
+
+        # butterfly stages on data + MAC-commitment planes; alignments are
+        # reset to infinity (no align_MAC in the cached path)
+        dx, dy = data_x, data_y
+        cx, cy = mc_x, mc_y
+        for s in range(1, self.height):
+            dx, cx = self._crebuild_stage(s, dx, cx)
+            dy, cy = self._crebuild_stage(s, dy, cy)
+
+        top = self.levels[self.height - 1]
+        top.x = Planes(data=dx, points={"c": cx, "a": hlog.infinity_points(n)})
+        top.y = Planes(data=dy, points={"c": cy, "a": hlog.infinity_points(n)})
+        top.empty = False
+        for i in range(self.height - 1):
+            self.levels[i].x = Planes()
+            self.levels[i].y = Planes()
+            self.levels[i].empty = True
+
+    def _crebuild_stage(self, s: int, data: CrtArray, macs: JacPoint):
+        """One radix-2 stage over (n, C) data and (n,) MAC arrays."""
+        n = self.num_blocks
+        m = 1 << s
+        m2 = m >> 1
+        tw = self.ctx.twiddles(m2)
+
+        # flatten pairs: (n/m, m, …) -> u = [:, :m2], t = [:, m2:]
+        def split(a):
+            a2 = a.reshape((n // m, m) + a.shape[1:])
+            return (a2[:, :m2].reshape((n // 2,) + a.shape[1:]),
+                    a2[:, m2:].reshape((n // 2,) + a.shape[1:]))
+
+        def join(hi, lo, like):
+            h = hi.reshape((n // m, m2) + like.shape[1:])
+            lo2 = lo.reshape((n // m, m2) + like.shape[1:])
+            return np.concatenate([h, lo2], axis=1).reshape(like.shape)
+
+        tw_tiled = type(tw)(np.tile(tw.std, (n // m, 1)),
+                            np.tile(tw.mont_p, (n // m, 1)),
+                            np.tile(tw.mont_q, (n // m, 1)))
+
+        dp_u, dp_t = split(np.asarray(data.p))
+        dq_u, dq_t = split(np.asarray(data.q))
+        hi, lo = compute.data_butterfly(
+            self.mod_q, CrtArray(dp_u, dq_u), CrtArray(dp_t, dq_t), tw_tiled)
+        hi, lo = hlog.host_crt(hi), hlog.host_crt(lo)
+        out_data = CrtArray(join(hi.p, lo.p, np.asarray(data.p)),
+                            join(hi.q, lo.q, np.asarray(data.q)))
+
+        mx_u = JacPoint(*[split(np.asarray(c))[0] for c in macs])
+        mx_t = JacPoint(*[split(np.asarray(c))[1] for c in macs])
+        his, los = compute.point_butterfly([mx_u], [mx_t], tw_tiled)
+        hi_p, lo_p = hlog.host_point(his[0]), hlog.host_point(los[0])
+        out_macs = JacPoint(join(hi_p.x, lo_p.x, np.asarray(macs.x)),
+                            join(hi_p.y, lo_p.y, np.asarray(macs.y)),
+                            join(hi_p.z, lo_p.z, np.asarray(macs.z)))
+        return out_data, out_macs
+
+    # --------------------------------------------------------------- update
+
+    def update(self, payload: bytes) -> bytes:
+        index = int.from_bytes(payload[:8], "little")
+        data = payload[:BLOCK_SIZE]
+        self.store.write_block(index - 1, data)
+        chunks = [int.from_bytes(data[i * 32:(i + 1) * 32], "little")
+                  for i in range(NUM_CHUNKS)]
+
+        mac = points_io.points_from_bytes(
+            payload[BLOCK_SIZE:BLOCK_SIZE + points_io.MAC_WIRE_SIZE])
+        self.mac_u = hlog.host_point(JacPoint(
+            _set_row(self.mac_u.x, index - 1, mac.x[0]),
+            _set_row(self.mac_u.y, index - 1, mac.y[0]),
+            _set_row(self.mac_u.z, index - 1, mac.z[0])))
+
+        self.write_step += 1
+        if self.write_step % self.num_blocks == 0:
+            self._crebuild()
+            updated_level = self.height - 1
+        else:
+            updated_level = self._hadd(chunks, mac)
+
+        self._absorb_deltas(
+            updated_level, payload[BLOCK_SIZE + points_io.MAC_WIRE_SIZE:])
+        return f"BLOCK {index} IS UPDATED.".encode()
+
+    def _hadd(self, chunks: list[int], mac: JacPoint) -> int:
+        """HAdd (Server.hpp:1388-1477). Returns the folded level."""
+        ctx = self.ctx
+        wt = ctx.wt_scalar(self.write_step)
+        data = engine.crt_from_ints(chunks, self.mod_q)
+        data = CrtArray(data.p[None], data.q[None])  # (1, C, 16)
+
+        data_b2 = hlog.host_crt(compute.scale_crt(self.mod_q, data, wt))
+        mac_b2 = hlog.host_point(compute.point_scale(mac, wt.std))
+
+        # align_MAC(data_B2): commit the mod-p correction, reduce data
+        align_b2, data_b2 = self._align(data_b2, hlog.infinity_points(1))
+        align_x = hlog.infinity_points(1)
+
+        slot_x = Planes(data=data, points={"c": mac, "a": align_x})
+        slot_y = Planes(data=data_b2, points={"c": mac_b2, "a": align_b2})
+
+        if self.levels[0].empty:
+            self.levels[0].x = slot_x
+            self.levels[0].y = slot_y
+            self.levels[0].empty = False
+            return 0
+        level = 1
+        while not self.levels[level].empty:
+            level += 1
+        hlog.fold_to_level(ctx, self.levels, level, slot_x, slot_y)
+        return level
+
+    def _align(self, data: CrtArray, acc: JacPoint):
+        """align_MAC (Server.hpp:478-562): acc += commit((A mod p) - A);
+        A := A mod p. Returns (new acc (batch,), reduced data)."""
+        c = compute_align_scalars(data, self.mod_q)
+        commit = pedersen.commit_blocks(self.generators, c)
+        ops = secp256k1()
+        new_acc = hlog.host_point(
+            ck.add(ops, ck.to_device(acc), commit))
+        return new_acc, engine.crt_reduce_mod_p(np, data)
+
+    # ---------------------------------------------------------------- audit
+
+    def audit(self, seed: bytes) -> bytes:
+        plan = auditing.build_audit_plan(
+            seed, self.write_step, self.num_blocks, self.height)
+
+        blocks_p, blocks_q, coeffs = [], [], []
+        ptc, pta = [], []
+        for s in plan.samples:
+            lv = self.levels[s.level]
+            planes = lv.x if s.is_x else lv.y
+            assert planes.data is not None, (
+                f"audited level {s.level} empty (write_step {self.write_step})")
+            blocks_p.append(np.asarray(planes.data.p)[s.index])
+            blocks_q.append(np.asarray(planes.data.q)[s.index])
+            coeffs.append(s.coeff)
+            for bag, name in ((ptc, "c"), (pta, "a")):
+                pts = planes.points[name]
+                bag.append((np.asarray(pts.x)[s.index],
+                            np.asarray(pts.y)[s.index],
+                            np.asarray(pts.z)[s.index]))
+
+        blocks = CrtArray(np.stack(blocks_p), np.stack(blocks_q))
+        B = hlog.host_crt(
+            compute.linear_combine_crt(self.mod_q, blocks, coeffs))
+
+        def stack_pts(bag):
+            return JacPoint(np.stack([b[0] for b in bag]),
+                            np.stack([b[1] for b in bag]),
+                            np.stack([b[2] for b in bag]))
+
+        coeff_limbs = limbs.ints_to_limbs(coeffs)
+        ops = secp256k1()
+        combined_mac = ops.to_affine(ck.to_host(ck.msm(
+            ops, ck.to_device(stack_pts(ptc)), coeff_limbs, nbits=32)))[0]
+        combined_align_j = ck.msm(
+            ops, ck.to_device(stack_pts(pta)), coeff_limbs, nbits=32)
+
+        # align_MAC(B, combined_align); commitment over the reduced B
+        B1 = CrtArray(B.p[None], B.q[None])
+        combined_align_b, B1 = self._align(
+            B1, hlog.host_point(ck.to_host(combined_align_j)))
+        combined_align = ops.to_affine(combined_align_b)[0]
+
+        b_chunks = limbs.limbs_to_ints(np.asarray(B1.p[0]))
+        commitment = ops.to_affine(ck.to_host(pedersen.commit_blocks(
+            self.generators, limbs.ints_to_limbs(b_chunks)[None])))[0]
+
+        # IPA proof over (B, powers of the challenge) (Server.hpp:856-877)
+        a_vec = list(b_chunks)
+        b_vec = []
+        v = plan.ipa_challenge  # signed int32, may be negative
+        for _ in range(NUM_CHUNKS):
+            b_vec.append(v)
+            v = (v * v) % self.mod_q.n
+        proof = ipa.prove(a_vec, b_vec, ck.to_device(self.generators), self.u)
+
+        reply = (ecc.secp_serialize_compressed(commitment)
+                 + ecc.secp_serialize_compressed(combined_mac)
+                 + ecc.secp_serialize_compressed(combined_align)
+                 + proof)
+        return reply
+
+
+def compute_align_scalars(data: CrtArray, mod_q) -> np.ndarray:
+    """(batch, C, 16) q-lane correction scalars for align_MAC."""
+    return np.asarray(engine.align_scalars(np, hlog.host_crt(data), mod_q))
+
+
+def _set_row(arr, i: int, row) -> np.ndarray:
+    out = np.asarray(arr).copy()
+    out[i] = np.asarray(row)
+    return out

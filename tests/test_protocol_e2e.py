@@ -1,0 +1,66 @@
+"""End-to-end protocol test: initialize -> updates -> audits.
+
+The audit equation alpha*commitment + complements == MAC + alpha*align is
+self-verifying: a passing audit proves the entire stack (NTT encode, MAC
+mirror butterflies, alignment corrections, commitments, PRF complements,
+IPA transcript) coheres. The reference only has this as a fatal runtime
+CHECK (Client.hpp:829); here it is the top of the test pyramid.
+"""
+
+import numpy as np
+import pytest
+
+from porla_tpu.config import PorlaConfig
+from porla_tpu.protocol.client import PorlaClient
+from porla_tpu.protocol.server import PorlaServer
+from porla_tpu.protocol.transport import InProcTransport
+
+
+@pytest.fixture(scope="module")
+def pair(tmp_path_factory):
+    cfg = PorlaConfig(scheme="ipa",
+                      storage_dir=str(tmp_path_factory.mktemp("store")))
+    server = PorlaServer(cfg)
+    client = PorlaClient(cfg, InProcTransport(server),
+                         data_seed=bytes(range(16)))
+    client.initialize(8)
+    return client, server
+
+
+def test_audit_after_initialize(pair):
+    client, server = pair
+    client.audit(seed=bytes(range(16)))
+
+
+def test_updates_and_audits(pair):
+    client, server = pair
+    # a few writes exercise HAdd folds of levels 0..2
+    for i in range(3):
+        client.update(i + 1)
+        client.audit()
+
+
+def test_full_epoch_triggers_crebuild(pair):
+    client, server = pair
+    while client.write_step % client.num_blocks != client.num_blocks - 1:
+        client.update((client.write_step % client.num_blocks) + 1)
+    # the next update completes the epoch -> CRebuild on both sides
+    client.update(client.num_blocks)
+    assert server.write_step % server.num_blocks == 0
+    client.audit()
+
+
+def test_corruption_is_detected(pair):
+    client, server = pair
+    # corrupt one codeword chunk on the server and expect the audit to fail
+    top = server.levels[server.height - 1]
+    orig = top.x.data.p.copy()
+    bad = orig.copy()
+    bad[0, 0, 0] ^= 1
+    top.x.data = type(top.x.data)(bad, top.x.data.q)
+    from porla_tpu.protocol.client import AuditError
+    with pytest.raises(AssertionError):
+        for _ in range(4):  # sampling may miss the corrupted block once
+            client.audit()
+    top.x.data = type(top.x.data)(orig, top.x.data.q)
+    client.audit()  # back to healthy
