@@ -52,15 +52,20 @@ def test_full_epoch_triggers_crebuild(pair):
 
 def test_corruption_is_detected(pair):
     client, server = pair
-    # corrupt one codeword chunk on the server and expect the audit to fail
+    # Corrupt one codeword chunk on the server and expect the audit to
+    # fail. Note: the corruption must change the value mod q — the
+    # audit-time align_MAC recommits the mod-p correction from the
+    # *current* data, so corruption by a multiple of q (here: touching
+    # only the p-lane) cancels out of the MAC equation. That mirrors the
+    # reference exactly: its align_MAC (Server.hpp:478-562) makes
+    # add-multiple-of-q corruption equally invisible to the audit
+    # equation; soundness rides on the q-residues.
     top = server.levels[server.height - 1]
-    orig = top.x.data.p.copy()
+    orig = top.x.data.q.copy()
     bad = orig.copy()
     bad[0, 0, 0] ^= 1
-    top.x.data = type(top.x.data)(bad, top.x.data.q)
-    from porla_tpu.protocol.client import AuditError
+    top.x.data = type(top.x.data)(top.x.data.p, bad)
     with pytest.raises(AssertionError):
-        for _ in range(4):  # sampling may miss the corrupted block once
-            client.audit()
-    top.x.data = type(top.x.data)(orig, top.x.data.q)
+        client.audit()
+    top.x.data = type(top.x.data)(top.x.data.p, orig)
     client.audit()  # back to healthy
