@@ -7,18 +7,20 @@ both places, so every device kernel has a bit-identical host twin.
 TPU-first design:
 - limbs are 16-bit values held in uint32 lanes; every partial product is
   exact in uint32 — no 64-bit arithmetic anywhere;
-- the schoolbook product is ONE (…, 16, 16) vector multiply whose
-  anti-diagonal column sums are computed with a pad/reshape "skew" trick
-  (constant number of tensor ops, no per-limb loops);
-- modular reduction is full-width Montgomery REDC: m = T·N' mod R and
-  T + m·N as two more skew products — fully parallel, unlike the serial
-  16-round digit-by-digit variant;
-- carry/borrow propagation is a Kogge-Stone (generate, propagate) scan:
-  log2(#limbs) tensor steps instead of a 16-step sequential chain.
-
-Everything is built from whole-limb-axis tensor primitives, which keeps
-traced/compiled program size small and gives XLA wide vectors with
-log-depth dependency chains.
+- **layout**: the public API carries limbs in the LAST axis (…, 16), but
+  every implementation immediately moves limbs to axis 0 and batch to the
+  trailing axes. On TPU the minor-most axis maps to the 128-wide vector
+  lanes: with limbs minor, every op wastes 7/8 of the lanes and pays
+  relayouts (measured 150x slower); with batch minor the lanes are full.
+  The boundary moveaxis ops cancel between chained calls inside a jit;
+- the schoolbook product is ONE (16, 16, …) vector multiply whose
+  anti-diagonal column sums are computed with a pad/reshape "skew" trick;
+- modular reduction is full-width Montgomery REDC: m = T·N' mod R is
+  computed directly from the product's REDUNDANT columns (hi/lo split),
+  so only one exact carry normalization per multiply remains;
+- carry/borrow chains are resolved with the adder-emulation trick: with
+  disjoint (generate, propagate) flags bit-packed into u32 words,
+  carries = ((g|p) + g) ^ p — three integer ops, no sequential chain.
 
 This replaces the roles of NTL's ZZ_p arithmetic and libsecp256k1's
 field_5x52/scalar_4x64 code in the reference (porla/Utils/utils.h,
@@ -59,127 +61,169 @@ class Modulus:
         return f"Modulus({self.name})"
 
 
-def _pad_last(xp, a, left: int, total: int):
-    widths = [(0, 0)] * (a.ndim - 1) + [(left, total - left - a.shape[-1])]
+# --- limb-first internal helpers (limb axis 0, batch trailing) -------------
+
+def _lf(xp, a):
+    """API layout (…, 16) -> internal (16, …)."""
+    return xp.moveaxis(a, -1, 0)
+
+
+def _lb(xp, a):
+    """internal (16, …) -> API layout (…, 16)."""
+    return xp.moveaxis(a, 0, -1)
+
+
+def _const(xp, limbs_1d, ndim_batch: int):
+    c = np.asarray(limbs_1d, dtype=np.uint32).reshape(
+        (-1,) + (1,) * ndim_batch)
+    return xp.asarray(c)
+
+
+def _pad0(xp, a, left: int, total: int):
+    widths = [(left, total - left - a.shape[0])] + [(0, 0)] * (a.ndim - 1)
     return xp.pad(a, widths)
 
 
 def _shift_up(xp, a, s: int):
-    """Shift limbs toward higher indices by s (same width, zeros in)."""
-    widths = [(0, 0)] * (a.ndim - 1) + [(s, 0)]
-    return xp.pad(a, widths)[..., : a.shape[-1]]
+    widths = [(s, 0)] + [(0, 0)] * (a.ndim - 1)
+    return xp.pad(a, widths)[: a.shape[0]]
 
 
 def _skew_colsum(xp, rows):
-    """(…, R, W) partial-product rows -> (…, R+W) anti-diagonal column sums
-    cols[k] = sum_{i+j=k} rows[i, j], in O(1) tensor ops.
-
-    Works by padding each row to width W+R+1 and re-viewing the flat buffer
-    with row stride W+R, which left-aligns row i at offset i — the classic
-    "skew" reshape. Entries must satisfy R * max(rows) < 2^32.
-    """
-    R, W = rows.shape[-2], rows.shape[-1]
-    padded = _pad_last(xp, rows, 0, W + R + 1)
-    flat = padded.reshape(rows.shape[:-2] + (R * (W + R + 1),))
-    flat = flat[..., : R * (W + R)]
-    return xp.sum(flat.reshape(rows.shape[:-2] + (R, W + R)), axis=-2,
+    """(R, W, …) partial-product rows -> (R+W, …) anti-diagonal sums
+    cols[k] = sum_{i+j=k} rows[i, j], in O(1) tensor ops (pad + reshape).
+    Entries must satisfy R * max(rows) < 2^32."""
+    R, W = rows.shape[0], rows.shape[1]
+    widths = [(0, 0), (0, R + 1)] + [(0, 0)] * (rows.ndim - 2)
+    padded = xp.pad(rows, widths)
+    flat = padded.reshape((R * (W + R + 1),) + rows.shape[2:])
+    flat = flat[: R * (W + R)]
+    return xp.sum(flat.reshape((R, W + R) + rows.shape[2:]), axis=0,
                   dtype=xp.uint32)
 
 
 def _mul_cols(xp, a, b, width: int):
-    """Column representation of the integer product a*b.
-
-    a: (…, 16) limbs (< 2^16 each), b: (…, 16) -> (…, width) columns with
-    entries < 2^21; value = sum_k cols[k] * 2^(16k).
-    """
-    p = a[..., :, None] * b[..., None, :]
+    """Column representation of a*b; a, b (16, …) canonical limbs ->
+    (width, …) columns with entries < 2^21."""
+    p = a[:, None] * b[None, :]
     lo = _skew_colsum(xp, p & _M)
     hi = _skew_colsum(xp, p >> _SH)
-    return _pad_last(xp, lo, 0, width) + _pad_last(xp, hi, 1, width)
+    return _pad0(xp, lo, 0, width) + _pad0(xp, hi, 1, width)
 
 
 def _resolve_carries(xp, g, p):
-    """Exact carry resolution for disjoint (generate, propagate) limb flags
-    (g & p == 0 elementwise) via the adder-emulation trick:
-
-    with A = g|p, B = g (so A&B = g, A^B = p), the carry bits of the
-    integer addition A+B are exactly the chain carries — so
-    cin_mask = (A + B) ^ (A ^ B) = ((g|p) + g) ^ p, THREE integer ops on
-    bit-packed masks instead of a log-depth scan. Limb flags are packed
-    into 32-bit words; multi-word widths chain the word carry through the
-    same identity (an incoming word carry adds into bit 0 and falls out of
-    the XOR automatically).
-
-    g, p: (…, W) uint32 0/1 flags. Returns (cin (…, W) uint32 0/1,
-    carry_out (…,) uint32 0/1 of the top limb).
-    """
-    W = g.shape[-1]
+    """Exact carry resolution for disjoint (generate, propagate) flags via
+    the adder-emulation identity cin = ((g|p) + g) ^ p on bit-packed
+    words (see module docstring). g, p: (W, …) uint32 0/1. Returns
+    (cin (W, …), carry_out (…,))."""
+    W = g.shape[0]
+    nb = g.ndim - 1
     cins = []
     carry = None
     for w0 in range(0, W, 32):
         wlen = min(32, W - w0)
-        pw2 = np.asarray([1 << k for k in range(wlen)], dtype=np.uint32)
-        gw = xp.sum(g[..., w0:w0 + wlen] * pw2, axis=-1, dtype=xp.uint32)
-        pw = xp.sum(p[..., w0:w0 + wlen] * pw2, axis=-1, dtype=xp.uint32)
+        pw2 = np.asarray([1 << k for k in range(wlen)],
+                         dtype=np.uint32).reshape((wlen,) + (1,) * nb)
+        gw = xp.sum(g[w0:w0 + wlen] * pw2, axis=0, dtype=xp.uint32)
+        pw = xp.sum(p[w0:w0 + wlen] * pw2, axis=0, dtype=xp.uint32)
         s = (gw | pw) + gw
         if carry is not None:
             s = s + carry
         cin_w = s ^ pw
         if wlen == 32:
-            # carry out of the word: recompute top bit exactly — bit 32 of
-            # (A+B+carry) wrapped; derive from generate/propagate at bit 31
             top_cin = (cin_w >> np.uint32(31)) & _ONE
             top_g = (gw >> np.uint32(31)) & _ONE
             top_p = (pw >> np.uint32(31)) & _ONE
             carry = top_g | (top_p & top_cin)
         else:
             carry = (cin_w >> np.uint32(wlen)) & _ONE
-        shifts = np.asarray(range(wlen), dtype=np.uint32)
-        cins.append((cin_w[..., None] >> shifts) & _ONE)
-    cin = xp.concatenate(cins, axis=-1) if len(cins) > 1 else cins[0]
+        shifts = np.asarray(range(wlen),
+                            dtype=np.uint32).reshape((wlen,) + (1,) * nb)
+        cins.append((cin_w[None] >> shifts) & _ONE)
+    cin = xp.concatenate(cins, axis=0) if len(cins) > 1 else cins[0]
     return cin, carry
 
 
 def _normalize(xp, cols):
-    """Exact base-2^16 digits of a column representation.
-
-    cols: (…, W) with entries < 2^31 -> digits (…, W+2) each < 2^16.
-    """
-    W = cols.shape[-1]
-    c1 = cols >> _SH                                   # < 2^15
-    v = _pad_last(xp, cols & _M, 0, W + 1) + _pad_last(xp, c1, 1, W + 1)
-    c2 = v >> _SH                                      # {0, 1}
-    v2 = _pad_last(xp, v & _M, 0, W + 2) + _pad_last(xp, c2, 1, W + 2)
-    # v2 entries <= 2^16: carries are now 0/1 and g/p are disjoint
-    g = v2 >> _SH                                      # generates carry
-    p = ((v2 & _M) == _M).astype(xp.uint32)            # propagates carry
+    """Exact base-2^16 digits: cols (W, …) entries < 2^31 -> (W+2, …)."""
+    W = cols.shape[0]
+    c1 = cols >> _SH
+    v = _pad0(xp, cols & _M, 0, W + 1) + _pad0(xp, c1, 1, W + 1)
+    c2 = v >> _SH
+    v2 = _pad0(xp, v & _M, 0, W + 2) + _pad0(xp, c2, 1, W + 2)
+    g = v2 >> _SH
+    p = ((v2 & _M) == _M).astype(xp.uint32)
     cin, _ = _resolve_carries(xp, g, p)
     return (v2 + cin) & _M
 
 
 def _borrow(xp, t):
-    """For t = a + 2^16 - b per limb (entries in [1, 2^17)): returns
-    (diff limbs of a - b mod 2^(16W), borrowed_out bool)."""
-    g = (t >> _SH) ^ _ONE                       # borrows on its own
-    p = (t == np.uint32(1 << _B)).astype(xp.uint32)  # borrow propagates
+    """t = a + 2^16 - b per limb (entries in [1, 2^17)) ->
+    (diff limbs (W, …), borrowed_out (…,) uint32 0/1)."""
+    g = (t >> _SH) ^ _ONE
+    p = (t == np.uint32(1 << _B)).astype(xp.uint32)
     bin_, bout = _resolve_carries(xp, g, p)
-    diff = (t - bin_) & _M
-    return diff, bout != 0
+    return (t - bin_) & _M, bout
 
 
 def _cond_sub_n(xp, res, top, mod: Modulus):
     """value = top*2^256 + res (< 2n): subtract n when >= n."""
-    nl = xp.asarray(mod.limbs)
-    t = res + np.uint32(1 << _B) - nl
-    diff, borrowed = _borrow(xp, t)
-    ge_n = (top > 0) | ~borrowed
-    return xp.where(ge_n[..., None], diff, res)
+    nl = _const(xp, mod.limbs, res.ndim - 1)
+    diff, borrowed = _borrow(xp, res + np.uint32(1 << _B) - nl)
+    ge_n = (top > 0) | (borrowed == 0)
+    return xp.where(ge_n[None], diff, res)
 
 
-# Nested-jit dispatch: on the jax path each op is traced ONCE per
-# (modulus, operand shapes) and becomes a call in outer jaxprs — composite
-# kernels (point ops, butterflies) would otherwise retrace the limb
-# arithmetic at every call site, making trace time the bottleneck.
+def _low_mul_cols(xp, a, b_const):
+    """Low 16 columns of a*b for canonical limbs a (mod 2^256)."""
+    pm = a[:, None] * b_const[None, :]
+    return (_skew_colsum(xp, pm & _M)[:NLIMBS]
+            + _shift_up(xp, _skew_colsum(xp, pm >> _SH)[:NLIMBS], 1))
+
+
+def _mont_mul_impl(xp, a, b, mod: Modulus):
+    a = _lf(xp, a)
+    b = _lf(xp, b)
+    W = 2 * NLIMBS + 1
+    t_cols = _mul_cols(xp, a, b, W)              # T = a*b, entries < 2^21
+
+    # m = (T mod R) * N' mod R from T's REDUNDANT low columns:
+    # T_low = A + 2^16*B (A 16-bit, B < 2^5) — B's partial products fit
+    # uint32 unsplit, skipping T's normalization entirely.
+    nprime = _const(xp, mod.nprime, a.ndim - 1)
+    tl = t_cols[:NLIMBS]
+    m_cols = _low_mul_cols(xp, tl & _M, nprime)
+    pm_hi = (tl >> _SH)[:, None] * nprime[None, :]
+    m_cols = m_cols + _shift_up(xp, _skew_colsum(xp, pm_hi)[:NLIMBS], 1)
+    m = _normalize(xp, m_cols)[:NLIMBS]          # canonical (< R)
+
+    # S = T + m*N  (≡ 0 mod R); result = S / R < 2n
+    u_cols = _mul_cols(xp, m, _const(xp, mod.limbs, a.ndim - 1), W)
+    s = _normalize(xp, u_cols + t_cols)          # (W+2, …)
+    return _lb(xp, _cond_sub_n(xp, s[NLIMBS:2 * NLIMBS], s[2 * NLIMBS], mod))
+
+
+def _add_mod_impl(xp, a, b, mod: Modulus):
+    a, b = xp.broadcast_arrays(a, b)
+    d = _normalize(xp, _lf(xp, a) + _lf(xp, b))  # (18, …)
+    return _lb(xp, _cond_sub_n(xp, d[:NLIMBS], d[NLIMBS], mod))
+
+
+def _sub_mod_impl(xp, a, b, mod: Modulus):
+    a, b = xp.broadcast_arrays(a, b)
+    al = _lf(xp, a)
+    bl = _lf(xp, b)
+    diff, borrowed = _borrow(xp, al + np.uint32(1 << _B) - bl)
+    fixed = _normalize(xp, diff + _const(xp, mod.limbs, al.ndim - 1))[:NLIMBS]
+    return _lb(xp, xp.where((borrowed != 0)[None], fixed, diff))
+
+
+# --- public API (limb-last layout), nested-jit dispatch --------------------
+
+# On the jax path each op is traced ONCE per (modulus, shapes) and becomes
+# a shared call in outer jaxprs — composite kernels (point ops,
+# butterflies) would otherwise retrace the limb arithmetic at every call
+# site, making trace time the bottleneck.
 _JIT_CACHE: dict = {}
 
 
@@ -209,61 +253,16 @@ def mont_mul(xp, a, b, mod: Modulus):
     plain modular product of the other operand with v — the convention
     used throughout the data plane (twiddles live in Montgomery form).
     """
+    a, b = xp.broadcast_arrays(a, b)
     return _dispatch(xp, "mul", mod, _mont_mul_impl, a, b)
-
-
-def _low_mul_cols(xp, a, b_const):
-    """Low 16 columns of a*b for canonical 16-bit limbs a (mod 2^256)."""
-    pm = a[..., :, None] * b_const
-    return (_skew_colsum(xp, pm & _M)[..., :NLIMBS]
-            + _shift_up(xp, _skew_colsum(xp, pm >> _SH)[..., :NLIMBS], 1))
-
-
-def _mont_mul_impl(xp, a, b, mod: Modulus):
-    W = 2 * NLIMBS + 1
-    t_cols = _mul_cols(xp, a, b, W)              # T = a*b, entries < 2^21
-
-    # m = (T mod R) * N' mod R, computed from T's REDUNDANT low columns:
-    # T_low = A + 2^16*B with A = cols & M (16-bit), B = cols >> 16
-    # (< 2^5), so T_low*N' = A*N' + 2^16*(B*N') — B's partial products fit
-    # uint32 without hi/lo splitting. Skips normalizing T entirely.
-    nprime = xp.asarray(mod.nprime)
-    tl = t_cols[..., :NLIMBS]
-    m_cols = _low_mul_cols(xp, tl & _M, nprime)
-    pm_hi = (tl >> _SH)[..., :, None] * nprime   # < 2^21 exact
-    m_cols = m_cols + _shift_up(xp, _skew_colsum(xp, pm_hi)[..., :NLIMBS], 1)
-    m = _normalize(xp, m_cols)[..., :NLIMBS]     # canonical (< R)
-
-    # S = T + m*N  (≡ 0 mod R); result = S / R < 2n
-    u_cols = _mul_cols(xp, m, xp.asarray(mod.limbs), W)
-    s_cols = u_cols + t_cols
-    s = _normalize(xp, s_cols)                   # (…, W+2)
-    res = s[..., NLIMBS:2 * NLIMBS]
-    top = s[..., 2 * NLIMBS]
-    return _cond_sub_n(xp, res, top, mod)
 
 
 def add_mod(xp, a, b, mod: Modulus):
     return _dispatch(xp, "add", mod, _add_mod_impl, a, b)
 
 
-def _add_mod_impl(xp, a, b, mod: Modulus):
-    a, b = xp.broadcast_arrays(a, b)
-    d = _normalize(xp, a + b)                    # (…, 18)
-    return _cond_sub_n(xp, d[..., :NLIMBS], d[..., NLIMBS], mod)
-
-
 def sub_mod(xp, a, b, mod: Modulus):
     return _dispatch(xp, "sub", mod, _sub_mod_impl, a, b)
-
-
-def _sub_mod_impl(xp, a, b, mod: Modulus):
-    a, b = xp.broadcast_arrays(a, b)
-    t = a + np.uint32(1 << _B) - b
-    diff, borrowed = _borrow(xp, t)
-    # if borrowed, add n back
-    fixed = _normalize(xp, diff + xp.asarray(mod.limbs))[..., :NLIMBS]
-    return xp.where(borrowed[..., None], fixed, diff)
 
 
 def neg_mod(xp, a, mod: Modulus):
@@ -287,8 +286,8 @@ def eq(xp, a, b):
 
 def geq(xp, a, b):
     """a >= b as (…,) bool."""
-    _, borrowed = _borrow(xp, a + np.uint32(1 << _B) - b)
-    return ~borrowed
+    _, borrowed = _borrow(xp, _lf(xp, a) + np.uint32(1 << _B) - _lf(xp, b))
+    return borrowed == 0
 
 
 def to_mont(xp, a, mod: Modulus):
