@@ -66,6 +66,7 @@ class Level:
     x: Planes
     y: Planes
     empty: bool = True
+    file_backed: bool = False  # data planes spilled to H_X/H_Y files
 
 
 def mix_planes(ctx: NttContext, lower_x: Planes, lower_y: Planes,

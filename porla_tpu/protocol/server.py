@@ -139,10 +139,13 @@ class PorlaServer:
         top.x = Planes(data=dx, points={"c": cx, "a": hlog.infinity_points(n)})
         top.y = Planes(data=dy, points={"c": cy, "a": hlog.infinity_points(n)})
         top.empty = False
+        top.file_backed = False
         for i in range(self.height - 1):
             self.levels[i].x = Planes()
             self.levels[i].y = Planes()
             self.levels[i].empty = True
+            self.levels[i].file_backed = False
+        self._spill_level(self.height - 1)
 
     def _crebuild_stage(self, s: int, data: CrtArray, macs: JacPoint):
         """One radix-2 stage over (n, C) data and (n,) MAC arrays."""
@@ -235,8 +238,63 @@ class PorlaServer:
         level = 1
         while not self.levels[level].empty:
             level += 1
+        for i in range(level):
+            self._materialize_level(i)
         hlog.fold_to_level(ctx, self.levels, level, slot_x, slot_y)
+        self._spill_level(level)
         return level
+
+    # ---------------------------------------------------- disk tier (H_X/H_Y)
+
+    def _spill_level(self, level: int) -> None:
+        """Beyond TOP_CACHING_LEVEL a level's data lives on disk as
+        mod-p-reduced 256-bit codeword files, with the reduction committed
+        into the alignment MACs — the TPU-native reshaping of the
+        reference's disk tier (CRebuild_No_Cached final stage and disk
+        `mix`, Server.hpp:1835-2255, :954-1207: per-butterfly file RMW
+        becomes stage-streamed compute + one aligned batched spill)."""
+        if level <= self.config.top_caching_level:
+            return
+        lv = self.levels[level]
+        ops = secp256k1()
+        for is_x, planes in ((True, lv.x), (False, lv.y)):
+            data = planes.data
+            if data is None:
+                continue
+            n = data.p.shape[0]
+            c = compute_align_scalars(data, self.mod_q)
+            commits = pedersen.commit_blocks(self.generators, c)
+            planes.points["a"] = hlog.host_point(ck.add(
+                ops, ck.to_device(planes.points["a"]), commits))
+            reduced = engine.crt_reduce_mod_p(np, hlog.host_crt(data))
+            vals = limbs.limbs_to_ints(
+                np.asarray(reduced.p).reshape(-1, limbs.NLIMBS))
+            for i in range(n):
+                self.store.write_code_256(
+                    is_x, level, i,
+                    vals[i * NUM_CHUNKS:(i + 1) * NUM_CHUNKS])
+            planes.data = None
+        lv.file_backed = True
+
+    def _materialize_level(self, level: int) -> None:
+        """Load a file-backed level's data planes back into memory."""
+        lv = self.levels[level]
+        if not lv.file_backed or lv.empty:
+            return
+        for is_x, planes in ((True, lv.x), (False, lv.y)):
+            n = planes.points["c"].x.shape[0]
+            vals = []
+            for i in range(n):
+                vals.extend(self.store.read_code_256(is_x, level, i))
+            arr = limbs.ints_to_limbs(vals)
+            arr = arr.reshape(n, NUM_CHUNKS, limbs.NLIMBS)
+            planes.data = CrtArray(arr, arr)  # values < p: both lanes equal
+        lv.file_backed = False
+
+    def _read_file_block(self, level: int, is_x: bool, index: int) -> CrtArray:
+        vals = self.store.read_code_256(is_x, level, index)
+        arr = limbs.ints_to_limbs(vals)
+        return CrtArray(arr, arr)
 
     def _align(self, data: CrtArray, acc: JacPoint):
         """align_MAC (Server.hpp:478-562): acc += commit((A mod p) - A);
@@ -259,10 +317,16 @@ class PorlaServer:
         for s in plan.samples:
             lv = self.levels[s.level]
             planes = lv.x if s.is_x else lv.y
-            assert planes.data is not None, (
-                f"audited level {s.level} empty (write_step {self.write_step})")
-            blocks_p.append(np.asarray(planes.data.p)[s.index])
-            blocks_q.append(np.asarray(planes.data.q)[s.index])
+            if planes.data is not None:
+                blocks_p.append(np.asarray(planes.data.p)[s.index])
+                blocks_q.append(np.asarray(planes.data.q)[s.index])
+            else:
+                assert lv.file_backed, (
+                    f"audited level {s.level} empty "
+                    f"(write_step {self.write_step})")
+                arr = self._read_file_block(s.level, s.is_x, s.index)
+                blocks_p.append(arr.p)
+                blocks_q.append(arr.q)
             coeffs.append(s.coeff)
             for bag, name in ((ptc, "c"), (pta, "a")):
                 pts = planes.points[name]
