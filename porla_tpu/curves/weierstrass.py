@@ -200,11 +200,15 @@ class CurveOps:
                      xp.broadcast_to(p.z, bshape + p.z.shape[-1:]))
         scalars = xp.broadcast_to(scalars, bshape + scalars.shape[-1:])
 
-        # per-element table T[d] = d*P, d = 0..15 (T[0] = infinity)
+        # per-element table T[d] = d*P, d = 0..15 (T[0] = infinity).
+        # The |(…&0) terms make the infinity data-dependent on p AND the
+        # scalars so its device-variance matches the loop body under
+        # shard_map (vma): both operands may contribute mesh axes.
         inf0 = self.infinity(xp, ())
-        inf = JacPoint(xp.broadcast_to(inf0.x, p.x.shape),
-                       xp.broadcast_to(inf0.y, p.y.shape),
-                       xp.broadcast_to(inf0.z, p.z.shape))
+        vary = (p.x & 0) | (scalars & 0)
+        inf = JacPoint(xp.broadcast_to(inf0.x, p.x.shape) | vary,
+                       xp.broadcast_to(inf0.y, p.y.shape) | vary,
+                       xp.broadcast_to(inf0.z, p.z.shape) | vary)
         table = [inf, p]
         for d in range(2, 16):
             if d % 2 == 0:
