@@ -43,8 +43,8 @@ def alpha_generators(alpha: int, num: int = NUM_GENERATORS):
 
 
 @lru_cache(maxsize=None)
-def _commit_fn(nbits: int):
-    ops = secp256k1()
+def _commit_fn(nbits: int, ops=None):
+    ops = ops or secp256k1()
 
     @jax.jit
     def f(gx, gy, gz, scalars):
@@ -61,13 +61,15 @@ def _commit_fn(nbits: int):
     return f
 
 
-def commit_blocks(generators: JacPoint, scalars, nbits: int = 256) -> JacPoint:
+def commit_blocks(generators: JacPoint, scalars, nbits: int = 256,
+                  ops=None) -> JacPoint:
     """scalars: (B, NUM_GENERATORS, 16) standard-form chunk values ->
-    JacPoint batch (B,) of commitments. Processes in COMMIT_BATCH slices
-    (padding the tail with zero scalars -> infinity contributions)."""
+    JacPoint batch (B,) of commitments (sum_i s_i * G_i over any curve).
+    Processes in COMMIT_BATCH slices (padding the tail with zero scalars
+    -> infinity contributions)."""
     scalars = np.asarray(scalars, dtype=np.uint32)
     B = scalars.shape[0]
-    f = _commit_fn(nbits)
+    f = _commit_fn(nbits, ops)
     outs = []
     for s in range(0, B, COMMIT_BATCH):
         batch = scalars[s:s + COMMIT_BATCH]

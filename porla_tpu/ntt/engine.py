@@ -113,6 +113,9 @@ class NttContext:
         # w = g^((p-1)/2n): a 2n-th primitive root (Client.hpp:141-144)
         self.w = pow(C.FFT_GENERATOR, (C.FFT_PRIME - 1) // (2 * num_blocks),
                      C.FFT_PRIME)
+        from porla_tpu.curves import instances as _ci
+        self.curve_ops = (_ci.secp256k1() if scheme == "ipa"
+                          else _ci.bn254())
         self._tw_cache: dict[int, Twiddles] = {}
 
     def twiddles(self, length: int) -> Twiddles:

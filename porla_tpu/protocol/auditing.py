@@ -29,6 +29,8 @@ class AuditPlan:
     samples: list
     n_points: int
     ipa_challenge: int  # signed int32 audit_values[n_points] (Server.hpp:861)
+    kzg_challenge: int  # signed int32 audit_values[consumed] — the KZG
+    #                     build reads *audit_values_ptr (Server.hpp:907)
 
 
 def expand_audit_values(seed: bytes, height: int) -> np.ndarray:
@@ -79,7 +81,8 @@ def build_audit_plan(seed: bytes, write_step: int, num_blocks: int,
                     else:
                         samples.append(AuditSample(i, True, j, coeff))
                     n_points += 1
-    return AuditPlan(samples, n_points, int(audit_values[n_points]))
+    return AuditPlan(samples, n_points, int(audit_values[n_points]),
+                     int(audit_values[ptr]))
 
 
 def masked_write_step(write_step: int, level: int) -> int:

@@ -29,7 +29,7 @@ from porla_tpu.curves.instances import secp256k1
 from porla_tpu.curves.weierstrass import JacPoint
 from porla_tpu.fields import limbs
 from porla_tpu.golden import ecc
-from porla_tpu.ntt.engine import NttContext, reverse_bits
+from porla_tpu.ntt.engine import NttContext
 from porla_tpu.protocol import auditing, compute, hlog, points_io
 from porla_tpu.protocol.hlog import Level, Planes
 
@@ -40,12 +40,31 @@ class AuditError(AssertionError):
 
 class PorlaClient:
     def __init__(self, config: PorlaConfig, transport, data_seed: bytes | None = None):
-        assert config.scheme == "ipa"
         self.config = config
         self.transport = transport  # callable: bytes -> bytes (REQ/REP)
-        self.alpha = int.from_bytes(config.secret_key, "little")  # 128-bit
         self.prf = MacPrf(config.secret_key)
-        self.h = testrand.derive_h_mac()
+        if config.scheme == "ipa":
+            # alpha = low 128 bits little-endian (memcpy into scalar limbs,
+            # Client.hpp:150-151); h = first zero-state testrand draw
+            self.alpha = int.from_bytes(config.secret_key, "little")
+            self.h = testrand.derive_h_mac()
+            self.ops = secp256k1()
+        else:
+            # kzg: alpha/tau are Fr elements from big-endian bytes
+            # (gnark SetBytes, main.go:31-40). The reference derives h
+            # nondeterministically (SetRandom, main.go:52-59); we derive it
+            # deterministically from TAU_KEY for reproducibility.
+            from porla_tpu.curves.instances import bn254
+            from porla_tpu.fields.constants import BN254_R
+            from porla_tpu.golden import bn254_pairing as bp
+            import hashlib
+            self.alpha = int.from_bytes(config.secret_key, "big") % BN254_R
+            self.tau = int.from_bytes(config.tau_key, "big") % BN254_R
+            hr = int.from_bytes(
+                hashlib.sha256(config.tau_key + b"porla-h").digest(),
+                "big") % BN254_R
+            self.h = ecc.mul(ecc.BN254, bp.G1, hr)
+            self.ops = bn254()
         self.data_rng = Prg(data_seed or os.urandom(16), 1)
         self.audit_seed_rng = Prg(os.urandom(16), 2)
         self.write_step = 0
@@ -65,35 +84,56 @@ class PorlaClient:
     def block_bytes(chunks: list[int]) -> bytes:
         return b"".join(c.to_bytes(32, "little") for c in chunks)
 
+    def _commit_blocks(self, blocks: list[list[int]]) -> JacPoint:
+        """Client-side block commitments: alpha-scaled Pedersen MSM (IPA,
+        Client.hpp:374-421) or f(tau)*alpha*G1 per block (KZG — the client
+        knows tau, so commitment is one scalar mult; main.go:70-89)."""
+        if self.config.scheme == "ipa":
+            scalars = np.stack([limbs.ints_to_limbs(b) for b in blocks])
+            return pedersen.commit_blocks(self.alpha_gens, scalars)
+        from porla_tpu.commit import kzg
+        pts = [kzg.commit_eval(self.tau, self.alpha, b) for b in blocks]
+        return self.ops.from_affine(np, pts)
+
     # ----------------------------------------------------- MAC complements
 
     def _complement_scalars(self, records) -> list[int]:
-        return self.prf.prf_scalars_ipa(records)
+        if self.config.scheme == "ipa":
+            return self.prf.prf_scalars_ipa(records)
+        from porla_tpu.fields.constants import BN254_R
+        return self.prf.prf_scalars_kzg(records, BN254_R)
 
     def complement_points(self, records) -> JacPoint:
         """Batched h^PRF(level,index,step) as JacPoint (N,)."""
         rs = self._complement_scalars(records)
-        ops = secp256k1()
-        h_rep = ops.from_affine(np, [self.h] * len(rs))
+        h_rep = self.ops.from_affine(np, [self.h] * len(rs))
         return hlog.host_point(
-            compute.point_scale(h_rep, limbs.ints_to_limbs(rs), nbits=128))
+            compute.point_scale(h_rep, limbs.ints_to_limbs(rs), nbits=128,
+                                ops=self.ops))
 
     # ----------------------------------------------------------- initialize
 
     def initialize(self, num_blocks: int) -> None:
         self.num_blocks = num_blocks
-        self.ctx = NttContext(num_blocks, "ipa")
+        self.ctx = NttContext(num_blocks, self.config.scheme)
         self.height = self.ctx.height
         self.mod_q = self.ctx.mod_q
         self.write_step = 0
 
-        reply = self.transport(b"GET GENERATORS")
-        pts = points_io.points_from_bytes(reply)
-        ops = secp256k1()
-        affine = ops.to_affine(pts)
-        self.generators = ops.from_affine(np, affine[:NUM_CHUNKS])
-        self.u = affine[NUM_CHUNKS]
-        self.alpha_gens = pedersen.alpha_generators(self.alpha)
+        if self.config.scheme == "ipa":
+            reply = self.transport(b"GET GENERATORS")
+            pts = points_io.points_from_bytes(reply)
+            ops = secp256k1()
+            affine = ops.to_affine(pts)
+            self.generators = ops.from_affine(np, affine[:NUM_CHUNKS])
+            self.u = affine[NUM_CHUNKS]
+            self.alpha_gens = pedersen.alpha_generators(self.alpha)
+        else:
+            # kzg: client runs the trusted setup and ships the SRS
+            # (init_SRS + send, Client.hpp:347-364)
+            from porla_tpu.commit import kzg
+            self.srs = kzg.KzgSrs.from_tau(self.tau, NUM_CHUNKS)
+            self.transport(self.srs.to_bytes())
 
         self.transport(num_blocks.to_bytes(4, "little"))
 
@@ -102,13 +142,12 @@ class PorlaClient:
         while i < num_blocks:
             count = min(self.config.max_blocks_sent, num_blocks - i)
             blocks = [self.create_data_block(i + k + 1) for k in range(count)]
-            scalars = np.stack([limbs.ints_to_limbs(b) for b in blocks])
-            commits = pedersen.commit_blocks(self.alpha_gens, scalars)
+            commits = self._commit_blocks(blocks)
             compl = self.complement_points(
                 [(0, i + k + 1, self.write_step) for k in range(count)])
             compl_pts_all.append(compl)
-            macs = ck.add(secp256k1(), commits, ck.to_device(compl))
-            macs_b = points_io.points_to_bytes(ck.to_host(macs))
+            macs = ck.add(self.ops, commits, ck.to_device(compl))
+            macs_b = points_io.points_to_bytes(ck.to_host(macs), self.ops)
             msg = b"".join(
                 self.block_bytes(b) + macs_b[k * 96:(k + 1) * 96]
                 for k, b in enumerate(blocks))
@@ -130,7 +169,8 @@ class PorlaClient:
         wt = ctx.wt_scalar(self.write_step)
         cx = complements_u
         wt_rep = np.broadcast_to(wt.std[0], (n, limbs.NLIMBS))
-        cy = hlog.host_point(compute.point_scale(complements_u, wt_rep))
+        cy = hlog.host_point(compute.point_scale(complements_u, wt_rep,
+                                                 ops=self.ops))
         for s in range(1, self.height):
             cx = self._stage(s, cx)
             cy = self._stage(s, cy)
@@ -157,7 +197,8 @@ class PorlaClient:
                             np.tile(tw.mont_q, (n // m, 1)))
         u_pts = JacPoint(*[split(c)[0] for c in macs])
         t_pts = JacPoint(*[split(c)[1] for c in macs])
-        his, los = compute.point_butterfly([u_pts], [t_pts], tw_tiled)
+        his, los = compute.point_butterfly([u_pts], [t_pts], tw_tiled,
+                                           ops=self.ops)
         hi, lo = hlog.host_point(his[0]), hlog.host_point(los[0])
         return JacPoint(join(hi.x, lo.x, np.asarray(macs.x)),
                         join(hi.y, lo.y, np.asarray(macs.y)),
@@ -171,20 +212,19 @@ class PorlaClient:
         fresh = self.complement_points(
             [(level, i, self.write_step) for i in range(2 * l)])
         folded = hlog.concat_points(folded_x, folded_y)
-        ops = secp256k1()
+        ops = self.ops
         delta = ck.add(ops, ck.to_device(fresh),
                        ck.to_device(ops.neg(np, folded)))
-        return points_io.points_to_bytes(ck.to_host(delta))
+        return points_io.points_to_bytes(ck.to_host(delta), ops)
 
     # --------------------------------------------------------------- update
 
     def update(self, block_id: int) -> None:
         chunks = self.create_data_block(block_id)
         compl = self.complement_points([(0, block_id, self.write_step)])
-        commit = pedersen.commit_blocks(
-            self.alpha_gens, limbs.ints_to_limbs(chunks)[None])
-        mac = ck.add(secp256k1(), commit, ck.to_device(compl))
-        mac_b = points_io.points_to_bytes(ck.to_host(mac))
+        commit = self._commit_blocks([chunks])
+        mac = ck.add(self.ops, ck.to_device(commit), ck.to_device(compl))
+        mac_b = points_io.points_to_bytes(ck.to_host(mac), self.ops)
 
         self.write_step += 1
         if self.write_step % self.num_blocks == 0:
@@ -209,7 +249,8 @@ class PorlaClient:
         (Client.hpp:505-536) and folding (HAdd on complements)."""
         ws = self.write_step
         wt = self.ctx.wt_scalar(ws)
-        b2 = hlog.host_point(compute.point_scale(new_compl, wt.std))
+        b2 = hlog.host_point(compute.point_scale(new_compl, wt.std,
+                                                 ops=self.ops))
         if level == 0:
             return new_compl, b2
 
@@ -256,24 +297,50 @@ class PorlaClient:
                 records[k] = (level, index, mws)
         compl = self.complement_points(records)
         coeffs = [s.coeff for s in plan.samples]
-        ops = secp256k1()
+        ops = self.ops
         combined_compl = ops.to_affine(ck.to_host(ck.msm(
             ops, ck.to_device(compl), limbs.ints_to_limbs(coeffs),
             nbits=32)))[0]
 
-        cv = ecc.SECP256K1
-        commitment = ecc.secp_parse_compressed(reply[0:33])
-        combined_mac = ecc.secp_parse_compressed(reply[33:66])
-        combined_align = ecc.secp_parse_compressed(reply[66:99])
-        proof = reply[99:]
+        if self.config.scheme == "ipa":
+            cv = ecc.SECP256K1
+            commitment = ecc.secp_parse_compressed(reply[0:33])
+            combined_mac = ecc.secp_parse_compressed(reply[33:66])
+            combined_align = ecc.secp_parse_compressed(reply[66:99])
+            proof = reply[99:]
 
-        lhs = ecc.add(cv, ecc.mul(cv, commitment, self.alpha), combined_compl)
+            lhs = ecc.add(cv, ecc.mul(cv, commitment, self.alpha),
+                          combined_compl)
+            rhs = ecc.add(cv, combined_mac,
+                          ecc.mul(cv, combined_align, self.alpha))
+            if lhs != rhs:
+                raise AuditError("MAC equation failed: data loss detected")
+
+            ipa.verify(commitment, proof, ck.to_device(self.generators),
+                       self.u)
+            return
+
+        # kzg (Client.hpp:846-876): reply = [proof(192) | MAC(96) |
+        # align(96)]; proof = [C(64) | H(64) | z(32) | claimed(32)]
+        from porla_tpu.commit import kzg
+        cv = ecc.BN254
+        commitment = ecc.bn254_unmarshal(reply[0:64])
+        H = ecc.bn254_unmarshal(reply[64:128])
+        z = int.from_bytes(reply[128:160], "big")
+        claimed = int.from_bytes(reply[160:192], "big")
+        combined_mac = ops.to_affine(
+            points_io.points_from_bytes(reply[192:288], ops=ops))[0]
+        combined_align = ops.to_affine(
+            points_io.points_from_bytes(reply[288:384], ops=ops))[0]
+
+        lhs = ecc.add(cv, ecc.mul(cv, commitment, self.alpha),
+                      combined_compl)
         rhs = ecc.add(cv, combined_mac,
                       ecc.mul(cv, combined_align, self.alpha))
         if lhs != rhs:
             raise AuditError("MAC equation failed: data loss detected")
-
-        ipa.verify(commitment, proof, ck.to_device(self.generators), self.u)
+        if not kzg.verify(self.srs, commitment, H, z, claimed):
+            raise AuditError("KZG opening proof failed")
 
     # ------------------------------------------------------------ self test
 

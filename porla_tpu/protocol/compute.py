@@ -92,11 +92,11 @@ def _point_butterfly_fn(ops: CurveOps, nplanes: int):
 
 
 def point_butterfly(M0s: list[JacPoint], M1s: list[JacPoint],
-                    tw: Twiddles) -> tuple[list[JacPoint], list[JacPoint]]:
+                    tw: Twiddles, ops=None) -> tuple[list[JacPoint], list[JacPoint]]:
     """Butterfly several point planes with shared twiddles:
     returns ([M0 + v*M1], [M0 - v*M1]) per plane. Planes are stacked into
     one kernel call; the L axis is padded to a power of two."""
-    ops = secp256k1()
+    ops = ops or secp256k1()
     nplanes = len(M0s)
     L = M0s[0].x.shape[0]
     Lp = _pad_pow2(L)
@@ -142,7 +142,7 @@ def _point_scale_fn(ops: CurveOps, nbits: int):
     return f
 
 
-def point_scale(M: JacPoint, scalars, nbits: int = 256) -> JacPoint:
+def point_scale(M: JacPoint, scalars, nbits: int = 256, ops=None) -> JacPoint:
     """Batched v_i * M_i with power-of-two padding (one executable)."""
     L = M.x.shape[0]
     Lp = _pad_pow2(L)
@@ -151,7 +151,7 @@ def point_scale(M: JacPoint, scalars, nbits: int = 256) -> JacPoint:
     if sc.shape[0] < Lp:
         sc = np.concatenate(
             [sc, np.zeros((Lp - sc.shape[0], limbs.NLIMBS), np.uint32)], 0)
-    out = JacPoint(*_point_scale_fn(secp256k1(), nbits)(
+    out = JacPoint(*_point_scale_fn(ops or secp256k1(), nbits)(
         Mp.x, Mp.y, Mp.z, jnp.asarray(sc)))
     return JacPoint(out.x[:L], out.y[:L], out.z[:L])
 

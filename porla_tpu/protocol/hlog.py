@@ -34,8 +34,8 @@ def host_point(p: JacPoint) -> JacPoint:
     return JacPoint(np.asarray(p.x), np.asarray(p.y), np.asarray(p.z))
 
 
-def infinity_points(n: int) -> JacPoint:
-    ops = secp256k1()
+def infinity_points(n: int, ops=None) -> JacPoint:
+    ops = ops or secp256k1()
     inf = ops.infinity(np, (n,))
     return JacPoint(np.asarray(inf.x), np.asarray(inf.y), np.asarray(inf.z))
 
@@ -100,7 +100,8 @@ def mix_planes(ctx: NttContext, lower_x: Planes, lower_y: Planes,
     names = lower_x.point_names()
     m0 = [lower_x.points[n] for n in names] + [lower_y.points[n] for n in names]
     m1 = [upper_x.points[n] for n in names] + [upper_y.points[n] for n in names]
-    his, los = compute.point_butterfly(m0, m1, tw)
+    his, los = compute.point_butterfly(m0, m1, tw,
+                                       ops=getattr(ctx, "curve_ops", None))
     k = len(names)
     for idx, n in enumerate(names):
         out_x.points[n] = host_point(

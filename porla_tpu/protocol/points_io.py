@@ -21,10 +21,10 @@ from porla_tpu.fields import limbs
 MAC_WIRE_SIZE = 96
 
 
-def points_to_bytes(pts: JacPoint) -> bytes:
+def points_to_bytes(pts: JacPoint, ops=None) -> bytes:
     """Batched JacPoint (N,) -> N*96 bytes. Converts Montgomery ->
     standard form on the host (exact)."""
-    fp = secp256k1().fp
+    fp = (ops or secp256k1()).fp
     p = fp.n
     rinv = pow(fp.r, -1, p)
     xs = limbs.limbs_to_ints(np.asarray(pts.x))
@@ -38,11 +38,11 @@ def points_to_bytes(pts: JacPoint) -> bytes:
     return bytes(out)
 
 
-def points_from_bytes(data: bytes, xp=np) -> JacPoint:
+def points_from_bytes(data: bytes, xp=np, ops=None) -> JacPoint:
     """N*96 bytes -> batched JacPoint (N,) in Montgomery form."""
     assert len(data) % MAC_WIRE_SIZE == 0
     n = len(data) // MAC_WIRE_SIZE
-    fp = secp256k1().fp
+    fp = (ops or secp256k1()).fp
     xs, ys, zs = [], [], []
     for i in range(n):
         rec = data[i * 96:(i + 1) * 96]

@@ -30,10 +30,16 @@ from porla_tpu.storage.store import BlockStore
 
 class PorlaServer:
     def __init__(self, config: PorlaConfig):
-        assert config.scheme == "ipa", "KZG scheme lands in the bn254 module"
         self.config = config
         self.store = BlockStore(config.storage_dir)
-        self.generators, self.u, self._gens_affine = pedersen.ipa_generators()
+        if config.scheme == "ipa":
+            (self.generators, self.u,
+             self._gens_affine) = pedersen.ipa_generators()
+            self.ops = secp256k1()
+        else:  # kzg: SRS arrives from the client (Server.hpp:179-194)
+            from porla_tpu.curves.instances import bn254
+            self.srs = None
+            self.ops = bn254()
         self.num_blocks = 0
         self.write_step = 0
         self._state = "generators"
@@ -42,11 +48,17 @@ class PorlaServer:
 
     def handle(self, msg: bytes) -> bytes:
         if self._state == "generators":
-            assert msg == b"GET GENERATORS"
             self._state = "num_blocks"
-            pts = self._gens_affine + [self.u]
-            ops = secp256k1()
-            return points_io.points_to_bytes(ops.from_affine(np, pts))
+            if self.config.scheme == "ipa":
+                assert msg == b"GET GENERATORS"
+                pts = self._gens_affine + [self.u]
+                return points_io.points_to_bytes(
+                    self.ops.from_affine(np, pts))
+            # kzg: first message is the SRS (init_SRS_from_data,
+            # Server.hpp:179-194)
+            from porla_tpu.commit import kzg
+            self.srs = kzg.KzgSrs.from_bytes(msg)
+            return b"RECEIVED SRS FROM CLIENT."
         if self._state == "num_blocks":
             self._setup(int.from_bytes(msg[:4], "little"))
             self._state = "blocks"
@@ -73,12 +85,12 @@ class PorlaServer:
 
     def _setup(self, num_blocks: int) -> None:
         self.num_blocks = num_blocks
-        self.ctx = NttContext(num_blocks, "ipa")
+        self.ctx = NttContext(num_blocks, self.config.scheme)
         self.height = self.ctx.height
         self.mod_q = self.ctx.mod_q
         self.write_step = 0
         self.levels = [Level(Planes(), Planes()) for _ in range(self.height)]
-        self.mac_u = hlog.infinity_points(num_blocks)
+        self.mac_u = hlog.infinity_points(num_blocks, self.ops)
         self._blocks_received = 0
 
     def _recv_blocks(self, msg: bytes) -> None:
@@ -90,7 +102,7 @@ class PorlaServer:
             mac = msg[k * rec + BLOCK_SIZE:(k + 1) * rec]
             i = self._blocks_received
             self.store.write_block(i, data)
-            pt = points_io.points_from_bytes(mac)
+            pt = points_io.points_from_bytes(mac, ops=self.ops)
             self.mac_u = hlog.host_point(JacPoint(
                 _set_row(self.mac_u.x, i, pt.x[0]),
                 _set_row(self.mac_u.y, i, pt.y[0]),
@@ -100,13 +112,13 @@ class PorlaServer:
     def _absorb_deltas(self, level: int, msg: bytes) -> None:
         """Add complement deltas into MAC_commitments_H[level]
         (Server.hpp:289-307, 449-469)."""
-        deltas = points_io.points_from_bytes(msg)
+        deltas = points_io.points_from_bytes(msg, ops=self.ops)
         l = 1 << level
         assert deltas.x.shape[0] == 2 * l
         lv = self.levels[level]
         dx = JacPoint(deltas.x[:l], deltas.y[:l], deltas.z[:l])
         dy = JacPoint(deltas.x[l:], deltas.y[l:], deltas.z[l:])
-        ops = secp256k1()
+        ops = self.ops
         lv.x.points["c"] = hlog.host_point(
             ck.add(ops, ck.to_device(lv.x.points["c"]), ck.to_device(dx)))
         lv.y.points["c"] = hlog.host_point(
@@ -125,7 +137,8 @@ class PorlaServer:
 
         mc_x = self.mac_u
         wt_rep = np.broadcast_to(wt.std[0], (n, limbs.NLIMBS))
-        mc_y = hlog.host_point(compute.point_scale(self.mac_u, wt_rep))
+        mc_y = hlog.host_point(compute.point_scale(self.mac_u, wt_rep,
+                                                   ops=self.ops))
 
         # butterfly stages on data + MAC-commitment planes; alignments are
         # reset to infinity (no align_MAC in the cached path)
@@ -136,8 +149,10 @@ class PorlaServer:
             dy, cy = self._crebuild_stage(s, dy, cy)
 
         top = self.levels[self.height - 1]
-        top.x = Planes(data=dx, points={"c": cx, "a": hlog.infinity_points(n)})
-        top.y = Planes(data=dy, points={"c": cy, "a": hlog.infinity_points(n)})
+        top.x = Planes(data=dx,
+                       points={"c": cx, "a": hlog.infinity_points(n, self.ops)})
+        top.y = Planes(data=dy,
+                       points={"c": cy, "a": hlog.infinity_points(n, self.ops)})
         top.empty = False
         top.file_backed = False
         for i in range(self.height - 1):
@@ -179,7 +194,8 @@ class PorlaServer:
 
         mx_u = JacPoint(*[split(np.asarray(c))[0] for c in macs])
         mx_t = JacPoint(*[split(np.asarray(c))[1] for c in macs])
-        his, los = compute.point_butterfly([mx_u], [mx_t], tw_tiled)
+        his, los = compute.point_butterfly([mx_u], [mx_t], tw_tiled,
+                                           ops=self.ops)
         hi_p, lo_p = hlog.host_point(his[0]), hlog.host_point(los[0])
         out_macs = JacPoint(join(hi_p.x, lo_p.x, np.asarray(macs.x)),
                             join(hi_p.y, lo_p.y, np.asarray(macs.y)),
@@ -196,7 +212,8 @@ class PorlaServer:
                   for i in range(NUM_CHUNKS)]
 
         mac = points_io.points_from_bytes(
-            payload[BLOCK_SIZE:BLOCK_SIZE + points_io.MAC_WIRE_SIZE])
+            payload[BLOCK_SIZE:BLOCK_SIZE + points_io.MAC_WIRE_SIZE],
+            ops=self.ops)
         self.mac_u = hlog.host_point(JacPoint(
             _set_row(self.mac_u.x, index - 1, mac.x[0]),
             _set_row(self.mac_u.y, index - 1, mac.y[0]),
@@ -221,11 +238,13 @@ class PorlaServer:
         data = CrtArray(data.p[None], data.q[None])  # (1, C, 16)
 
         data_b2 = hlog.host_crt(compute.scale_crt(self.mod_q, data, wt))
-        mac_b2 = hlog.host_point(compute.point_scale(mac, wt.std))
+        mac_b2 = hlog.host_point(compute.point_scale(mac, wt.std,
+                                                     ops=self.ops))
 
         # align_MAC(data_B2): commit the mod-p correction, reduce data
-        align_b2, data_b2 = self._align(data_b2, hlog.infinity_points(1))
-        align_x = hlog.infinity_points(1)
+        align_b2, data_b2 = self._align(
+            data_b2, hlog.infinity_points(1, self.ops))
+        align_x = hlog.infinity_points(1, self.ops)
 
         slot_x = Planes(data=data, points={"c": mac, "a": align_x})
         slot_y = Planes(data=data_b2, points={"c": mac_b2, "a": align_b2})
@@ -256,14 +275,14 @@ class PorlaServer:
         if level <= self.config.top_caching_level:
             return
         lv = self.levels[level]
-        ops = secp256k1()
+        ops = self.ops
         for is_x, planes in ((True, lv.x), (False, lv.y)):
             data = planes.data
             if data is None:
                 continue
             n = data.p.shape[0]
             c = compute_align_scalars(data, self.mod_q)
-            commits = pedersen.commit_blocks(self.generators, c)
+            commits = self._commit_batch(c)
             planes.points["a"] = hlog.host_point(ck.add(
                 ops, ck.to_device(planes.points["a"]), commits))
             reduced = engine.crt_reduce_mod_p(np, hlog.host_crt(data))
@@ -300,11 +319,19 @@ class PorlaServer:
         """align_MAC (Server.hpp:478-562): acc += commit((A mod p) - A);
         A := A mod p. Returns (new acc (batch,), reduced data)."""
         c = compute_align_scalars(data, self.mod_q)
-        commit = pedersen.commit_blocks(self.generators, c)
-        ops = secp256k1()
+        commit = self._commit_batch(c)
         new_acc = hlog.host_point(
-            ck.add(ops, ck.to_device(acc), commit))
+            ck.add(self.ops, ck.to_device(acc), commit))
         return new_acc, engine.crt_reduce_mod_p(np, data)
+
+    def _commit_batch(self, scalars) -> JacPoint:
+        """Commit a (B, NUM_CHUNKS, 16) scalar batch: Pedersen MSM over the
+        IPA generators, or the SRS MSM for KZG (compute_digest_from_srs,
+        main.go:103-116)."""
+        if self.config.scheme == "ipa":
+            return pedersen.commit_blocks(self.generators, scalars)
+        return pedersen.commit_blocks(self.srs.g1_dev, scalars,
+                                      ops=self.ops)
 
     # ---------------------------------------------------------------- audit
 
@@ -344,9 +371,9 @@ class PorlaServer:
                             np.stack([b[2] for b in bag]))
 
         coeff_limbs = limbs.ints_to_limbs(coeffs)
-        ops = secp256k1()
-        combined_mac = ops.to_affine(ck.to_host(ck.msm(
-            ops, ck.to_device(stack_pts(ptc)), coeff_limbs, nbits=32)))[0]
+        ops = self.ops
+        combined_mac_j = ck.msm(
+            ops, ck.to_device(stack_pts(ptc)), coeff_limbs, nbits=32)
         combined_align_j = ck.msm(
             ops, ck.to_device(stack_pts(pta)), coeff_limbs, nbits=32)
 
@@ -354,26 +381,46 @@ class PorlaServer:
         B1 = CrtArray(B.p[None], B.q[None])
         combined_align_b, B1 = self._align(
             B1, hlog.host_point(ck.to_host(combined_align_j)))
-        combined_align = ops.to_affine(combined_align_b)[0]
 
         b_chunks = limbs.limbs_to_ints(np.asarray(B1.p[0]))
-        commitment = ops.to_affine(ck.to_host(pedersen.commit_blocks(
-            self.generators, limbs.ints_to_limbs(b_chunks)[None])))[0]
 
-        # IPA proof over (B, powers of the challenge) (Server.hpp:856-877)
-        a_vec = list(b_chunks)
-        b_vec = []
-        v = plan.ipa_challenge  # signed int32, may be negative
-        for _ in range(NUM_CHUNKS):
-            b_vec.append(v)
-            v = (v * v) % self.mod_q.n
-        proof = ipa.prove(a_vec, b_vec, ck.to_device(self.generators), self.u)
+        if self.config.scheme == "ipa":
+            combined_mac = ops.to_affine(ck.to_host(combined_mac_j))[0]
+            combined_align = ops.to_affine(combined_align_b)[0]
+            commitment = ops.to_affine(ck.to_host(pedersen.commit_blocks(
+                self.generators, limbs.ints_to_limbs(b_chunks)[None])))[0]
 
-        reply = (ecc.secp_serialize_compressed(commitment)
-                 + ecc.secp_serialize_compressed(combined_mac)
-                 + ecc.secp_serialize_compressed(combined_align)
-                 + proof)
-        return reply
+            # IPA proof over (B, challenge powers) (Server.hpp:856-877)
+            a_vec = list(b_chunks)
+            b_vec = []
+            v = plan.ipa_challenge  # signed int32, may be negative
+            for _ in range(NUM_CHUNKS):
+                b_vec.append(v)
+                v = (v * v) % self.mod_q.n
+            proof = ipa.prove(a_vec, b_vec, ck.to_device(self.generators),
+                              self.u)
+            return (ecc.secp_serialize_compressed(commitment)
+                    + ecc.secp_serialize_compressed(combined_mac)
+                    + ecc.secp_serialize_compressed(combined_align)
+                    + proof)
+
+        # kzg: proof = [commitment(64) | H(64) | point(32) | claimed(32)]
+        # followed by the two combined points (create_kzg_proof,
+        # Server.hpp:898-916 / main.go:153-175)
+        from porla_tpu.commit import kzg
+        commitment = kzg.commit_msm(self.srs, b_chunks)
+        # the reference passes the next unconsumed signed int through a C
+        # int -> Go uint64 conversion (negative wraps mod 2^64)
+        z = plan.kzg_challenge & 0xFFFFFFFFFFFFFFFF if plan.kzg_challenge < 0 \
+            else plan.kzg_challenge
+        H, claimed = kzg.open_at(self.srs, b_chunks, z)
+        proof = (ecc.bn254_marshal(commitment) + ecc.bn254_marshal(H)
+                 + (z % kzg.FR).to_bytes(32, "big")
+                 + claimed.to_bytes(32, "big"))
+        return (proof
+                + points_io.points_to_bytes(
+                    hlog.host_point(ck.to_host(combined_mac_j)), ops)
+                + points_io.points_to_bytes(combined_align_b, ops))
 
 
 def compute_align_scalars(data: CrtArray, mod_q) -> np.ndarray:
