@@ -40,17 +40,17 @@ def main():
     ctx = engine.NttContext(n, "ipa")
     # Toeplitz twiddle stacks as device arrays (passed as args so they are
     # not baked into the compiled program)
-    mats_p = [jnp.asarray(mxu.stage_twiddle_mats(ctx, ctx.mod_p, 1 << (s - 1)))
+    mats_p = [jnp.asarray(mxu.stage_twiddle_mats8(ctx, ctx.mod_p, 1 << (s - 1)))
               for s in range(1, ctx.height)]
-    mats_q = [jnp.asarray(mxu.stage_twiddle_mats(ctx, ctx.mod_q, 1 << (s - 1)))
+    mats_q = [jnp.asarray(mxu.stage_twiddle_mats8(ctx, ctx.mod_q, 1 << (s - 1)))
               for s in range(1, ctx.height)]
     nstages = ctx.height - 1
 
     # one executable per stage (a single fused program compiles poorly and
     # runs ~40x slower; per-stage dispatch is also the deployment shape)
-    stage_p = [jax.jit(lambda a, m, s=s: mxu.encode_stage(
+    stage_p = [jax.jit(lambda a, m, s=s: mxu.encode_stage8(
         jnp, ctx.mod_p, a, s, m)) for s in range(1, ctx.height)]
-    stage_q = [jax.jit(lambda a, m, s=s: mxu.encode_stage(
+    stage_q = [jax.jit(lambda a, m, s=s: mxu.encode_stage8(
         jnp, ctx.mod_q, a, s, m)) for s in range(1, ctx.height)]
 
     def encode(ap, aq, *mats):

@@ -337,3 +337,117 @@ def sub_mod256(xp, a, b, mod: mont.Modulus):
         xp.pad(fixed >> np.uint32(8), [(1, 0)] + [(0, 0)] * nb)
     fixed, _ = _resolve_digits(xp, v)
     return xp.where((borrowed != 0)[None], fixed[:ND], diff)
+
+
+# --- bf16 base-256 variant --------------------------------------------------
+# Operands stay in base-256 digits (values <= 255 are exact in bf16; column
+# sums <= 32*255^2 < 2^24 are exact in the MXU's f32 accumulation), halving
+# the contraction depth and the output traffic of the int8/4-bit path.
+
+def toeplitz8_mats(values: list[int], rows: int) -> np.ndarray:
+    """(G, rows, 32) uint8-valued arrays: M[g, o, i] = byte o-i of value."""
+    g = len(values)
+    digs = np.zeros((g, ND), dtype=np.int64)
+    for j, v in enumerate(values):
+        vv = int(v)
+        for k in range(ND):
+            digs[j, k] = (vv >> (8 * k)) & 0xFF
+    o = np.arange(rows)[:, None]
+    i = np.arange(ND)[None, :]
+    idx = o - i
+    valid = (idx >= 0) & (idx < ND)
+    return np.where(valid[None], digs[:, np.clip(idx, 0, ND - 1)],
+                    0).astype(np.float32)
+
+
+@lru_cache(maxsize=None)
+def _mod_mats8(mod: mont.Modulus):
+    nprime = (-pow(mod.n, -1, 1 << 256)) % (1 << 256)
+    return (toeplitz8_mats([nprime], ND)[0], toeplitz8_mats([mod.n], 2 * ND)[0])
+
+
+def _dot8(xp):
+    if xp is np:
+        def dot(mats, x):
+            return np.einsum("gok,gk...->go...",
+                             np.asarray(mats, dtype=np.int64),
+                             np.asarray(x, dtype=np.int64)).astype(np.uint32)
+        return dot
+    import jax
+    import jax.numpy as jnp
+
+    def dot(mats, x):
+        out = jax.lax.dot_general(
+            jnp.asarray(mats, dtype=jnp.bfloat16),
+            x.astype(jnp.bfloat16),
+            dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        return out.astype(jnp.uint32)
+    return dot
+
+
+def mul_const_mont8(xp, x, tw_mats8, mod: mont.Modulus):
+    """bf16/base-256 twin of mul_const_mont. x: (G, 32, B) u32 canonical
+    digits; tw_mats8: (G, 64, 32) f32 Toeplitz stacks (byte digits of
+    Montgomery-form constants)."""
+    dot = _dot8(xp)
+    mN_, mN = _mod_mats8(mod)
+    G = x.shape[0]
+
+    t256 = dot(tw_mats8, x)                               # (G, 64, B) < 2^21
+    tn = _normalize256(xp, xp.moveaxis(t256, 1, 0), ND4 + 2)  # (66, G, B)
+    t_low = xp.moveaxis(tn[:ND], 0, 1)                    # (G, 32, B)
+
+    m256 = dot(np.broadcast_to(mN_[None], (G,) + mN_.shape), t_low)
+    mnorm = _normalize256(xp, xp.moveaxis(m256, 1, 0), ND)[:ND]
+    m = xp.moveaxis(mnorm, 0, 1)                          # canonical mod R
+
+    u256 = dot(np.broadcast_to(mN[None], (G,) + mN.shape), m)
+    s_cols = u256 + t256                                  # < 2^22
+    sn = _normalize256(xp, xp.moveaxis(s_cols, 1, 0), ND4 + 2)
+    out = _cond_sub(xp, sn[ND:2 * ND], sn[2 * ND], mod)
+    return xp.moveaxis(out, 0, 1)
+
+
+def stage_twiddle_mats8(ctx, lane_mod: mont.Modulus, m2: int) -> np.ndarray:
+    """(m2, 64, 32) f32 byte-Toeplitz stack for a stage (cached on ctx)."""
+    cache = getattr(ctx, "_mxu_mats8", None)
+    if cache is None:
+        cache = {}
+        ctx._mxu_mats8 = cache
+    key = (id(lane_mod), m2)
+    mats = cache.get(key)
+    if mats is None:
+        tw = ctx.twiddles(m2)
+        src = tw.mont_p if lane_mod.n == ctx.mod_p.n else tw.mont_q
+        vals = L.limbs_to_ints(np.asarray(src))
+        mats = toeplitz8_mats(vals, 2 * ND)
+        cache[key] = mats
+    return mats
+
+
+def encode_stage8(xp, lane_mod: mont.Modulus, arr, s: int, mats8):
+    """bf16-path radix-2 stage over (n, C, 32) digit arrays."""
+    n, Cc = arr.shape[0], arr.shape[1]
+    m = 1 << s
+    m2 = m >> 1
+
+    a = arr.reshape(n // m, m, Cc, ND)
+    u = a[:, :m2]
+    t = a[:, m2:]
+    tT = xp.moveaxis(xp.moveaxis(t, 1, 0).reshape(m2, n // m * Cc, ND), 2, 1)
+    uT = xp.moveaxis(xp.moveaxis(u, 1, 0).reshape(m2, n // m * Cc, ND), 2, 1)
+
+    prod = mul_const_mont8(xp, tT, mats8, lane_mod)
+    ud = xp.moveaxis(uT, 1, 0)
+    pd = xp.moveaxis(prod, 1, 0)
+    hi = add_mod256(xp, ud, pd, lane_mod)
+    lo = sub_mod256(xp, ud, pd, lane_mod)
+
+    def back(dd):
+        x2 = xp.moveaxis(dd, 0, 2)
+        x2 = x2.reshape(m2, n // m, Cc, ND)
+        return xp.moveaxis(x2, 0, 1)
+
+    out = xp.concatenate([back(hi), back(lo)], axis=1)
+    return out.reshape(n, Cc, ND)

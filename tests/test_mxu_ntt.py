@@ -75,3 +75,34 @@ def test_encode_stages_mxu_matches_engine():
     out_q = mxu.encode_stages_mxu(np, ctx, ctx.mod_q, dq)
     assert (mxu.limbs_from_digits(np, out_p) == np.asarray(ref.p)).all()
     assert (mxu.limbs_from_digits(np, out_q) == np.asarray(ref.q)).all()
+
+
+def test_mul_const_mont8_matches_int_path():
+    mod = engine._MOD_P
+    G, B = 3, 5
+    tw = [rng.randrange(mod.n) for _ in range(G)]
+    tw_mont = [mod.to_mont_int(t) for t in tw]
+    mats8 = mxu.toeplitz8_mats(tw_mont, 2 * mxu.ND)
+    xs = [[rng.randrange(mod.n) for _ in range(B)] for _ in range(G)]
+    x_digits = np.stack([
+        mxu.digits_from_limbs(np, limbs.ints_to_limbs(row)).T
+        for row in xs])
+    out = mxu.mul_const_mont8(np, x_digits, mats8, mod)
+    for g in range(G):
+        got = [sum(int(out[g, k, b]) << (8 * k) for k in range(32))
+               for b in range(B)]
+        assert got == [(x * tw[g]) % mod.n for x in xs[g]]
+
+
+def test_encode_stage8_matches_engine():
+    n, Cc = 8, 2
+    ctx = engine.NttContext(n, "ipa")
+    vals = [rng.getrandbits(256) for _ in range(n * Cc)]
+    arr = engine.crt_from_ints(vals, ctx.mod_q)
+    arr = engine.CrtArray(arr.p.reshape(n, Cc, 16), arr.q.reshape(n, Cc, 16))
+    ref = engine.encode_stages(np, ctx, arr)
+    d = mxu.digits_from_limbs(np, arr.p)
+    for s in range(1, ctx.height):
+        mats8 = mxu.stage_twiddle_mats8(ctx, ctx.mod_p, 1 << (s - 1))
+        d = mxu.encode_stage8(np, ctx.mod_p, d, s, mats8)
+    assert (mxu.limbs_from_digits(np, d) == np.asarray(ref.p)).all()
