@@ -13,9 +13,23 @@ from __future__ import annotations
 FFT_PRIME = 207 * (1 << 248) + 1
 assert FFT_PRIME == int(
     "93628759656736142393278101159368737990730026663232799828780155818898507169793")
-# multiplicative generator of Z_p* used to derive roots of unity (utils.h:29)
+# The reference's generator constant (utils.h:29, "A random value").
+# CAUTION — latent reference bug: this value is NOT a primitive root of
+# Z_p* (its order divides (p-1)/6: g^((p-1)/2) = g^((p-1)/3) = 1), so
+# w = g^((p-1)/2n) has order n, not 2n. The codeword's Y half therefore
+# never reaches the odd 2n-th-root evaluation points and the erasure code
+# is strictly weaker than the ICC construction in the paper/MATLAB model
+# (icc/find_generator.m uses a true generator). We keep this constant for
+# reference parity; hardened deployments use FFT_TRUE_GENERATOR below.
 FFT_GENERATOR = int(
     "37724658858582113439798596500054279666200959181261379108294206582568298678")
+
+# Smallest true primitive root of Z_p* (order checked against all prime
+# factors of p-1 = 2^248 * 3^2 * 23); gives genuine 2n-th roots of unity
+# and a Reed-Solomon (MDS) codeword.
+FFT_TRUE_GENERATOR = 5
+assert all(pow(FFT_TRUE_GENERATOR, (FFT_PRIME - 1) // q, FFT_PRIME) != 1
+           for q in (2, 3, 23))
 
 # --- secp256k1 (IPA scheme) ------------------------------------------------
 SECP_P = 2**256 - 2**32 - 977                    # base field

@@ -103,15 +103,21 @@ def _batch_powers(base: int, count: int, modulus: int) -> list[int]:
 class NttContext:
     """Per-(num_blocks, scheme) twiddle and root-of-unity context."""
 
-    def __init__(self, num_blocks: int, scheme: str = "ipa"):
+    def __init__(self, num_blocks: int, scheme: str = "ipa",
+                 hardened: bool = False):
         assert num_blocks & (num_blocks - 1) == 0, "n must be a power of two"
         self.n = num_blocks
         self.scheme = scheme
+        self.hardened = hardened
         self.height = num_blocks.bit_length()  # log2(n) + 1
         self.mod_p = _MOD_P
         self.mod_q = _MOD_SECP_N if scheme == "ipa" else _MOD_BN254_R
-        # w = g^((p-1)/2n): a 2n-th primitive root (Client.hpp:141-144)
-        self.w = pow(C.FFT_GENERATOR, (C.FFT_PRIME - 1) // (2 * num_blocks),
+        # w = g^((p-1)/2n) (Client.hpp:141-144). With the reference's g
+        # this has order n only (see fields/constants.py — the constant is
+        # not a primitive root); hardened mode uses a true generator so w
+        # is a genuine 2n-th primitive root and the codeword is MDS.
+        gen = C.FFT_TRUE_GENERATOR if hardened else C.FFT_GENERATOR
+        self.w = pow(gen, (C.FFT_PRIME - 1) // (2 * num_blocks),
                      C.FFT_PRIME)
         from porla_tpu.curves import instances as _ci
         self.curve_ops = (_ci.secp256k1() if scheme == "ipa"
