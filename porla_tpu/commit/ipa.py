@@ -20,7 +20,6 @@ serves every round); single-point scalar mults stay on the host.
 
 from __future__ import annotations
 
-import numpy as np
 
 from porla_tpu.config import NUM_CHUNKS
 from porla_tpu.crypto.shas import Sha256

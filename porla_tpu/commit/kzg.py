@@ -17,7 +17,6 @@ reference's wire sizes (main.go:118-175).
 
 from __future__ import annotations
 
-from functools import lru_cache
 
 import numpy as np
 

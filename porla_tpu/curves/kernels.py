@@ -20,7 +20,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from porla_tpu.curves.weierstrass import CurveOps, JacPoint
-from porla_tpu.fields.limbs import NLIMBS
 
 
 def _pad_len(n: int) -> int:

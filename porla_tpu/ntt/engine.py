@@ -21,7 +21,6 @@ mirror" butterflies as scalars; Server.hpp:1592).
 
 from __future__ import annotations
 
-from functools import lru_cache
 from typing import NamedTuple
 
 import numpy as np

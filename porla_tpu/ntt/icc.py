@@ -22,7 +22,6 @@ elimination mod p (host; batched device solve is round-2 work).
 
 from __future__ import annotations
 
-import numpy as np
 
 from porla_tpu.fields import constants as C
 from porla_tpu.ntt import engine

@@ -24,12 +24,10 @@ same factor.
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from porla_tpu.curves.instances import secp256k1
 from porla_tpu.curves.weierstrass import JacPoint

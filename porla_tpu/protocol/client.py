@@ -20,7 +20,7 @@ import os
 
 import numpy as np
 
-from porla_tpu.config import BLOCK_SIZE, NUM_CHUNKS, PorlaConfig
+from porla_tpu.config import NUM_CHUNKS, PorlaConfig
 from porla_tpu.commit import ipa, pedersen
 from porla_tpu.crypto.aes import MacPrf, Prg
 from porla_tpu.crypto import testrand

@@ -19,7 +19,7 @@ import numpy as np
 
 from porla_tpu.config import BLOCK_SIZE, NUM_CHUNKS
 from porla_tpu.fields import limbs
-from porla_tpu.ntt.engine import CrtArray, crt_from_ints, crt_to_ints
+from porla_tpu.ntt.engine import CrtArray, crt_from_ints
 
 
 class BlockStore:
