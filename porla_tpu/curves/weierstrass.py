@@ -263,20 +263,21 @@ class CurveOps:
         important because point-add graphs are expensive to compile."""
         assert axis == 0, "reduce leading axis; move it first"
         n = p.x.shape[0]
-        shift = 1
-        inf = self.infinity(xp, ())
-        while shift < n:
-            # partner[i] = p[i + shift] (infinity beyond the end)
-            def shifted(a, fill):
-                tail = xp.broadcast_to(fill, (shift,) + a.shape[1:])
-                return xp.concatenate([a[shift:], tail], axis=0)
-            partner = JacPoint(shifted(p.x, inf.x), shifted(p.y, inf.y),
-                               shifted(p.z, inf.z))
-            summed = self.add(xp, p, partner)
-            # only lanes i with i % (2*shift) == 0 matter downstream; keep
-            # all (cheaper than masking) — stride-indexing happens at the end
-            p = summed
-            shift <<= 1
+        while n > 1:
+            half = n // 2
+            lo = JacPoint(p.x[:half], p.y[:half], p.z[:half])
+            hi = JacPoint(p.x[half:2 * half], p.y[half:2 * half],
+                          p.z[half:2 * half])
+            s = self.add(xp, lo, hi)
+            if n % 2:  # carry the odd element forward
+                p = JacPoint(
+                    xp.concatenate([s.x, p.x[2 * half:]], axis=0),
+                    xp.concatenate([s.y, p.y[2 * half:]], axis=0),
+                    xp.concatenate([s.z, p.z[2 * half:]], axis=0))
+                n = half + 1
+            else:
+                p = s
+                n = half
         return JacPoint(p.x[:1], p.y[:1], p.z[:1])
 
     def msm(self, xp, points: JacPoint, scalars, nbits: int = 256) -> JacPoint:
