@@ -26,6 +26,7 @@ def main():
     ap.add_argument("--connect", type=str, default=None,
                     help="ZMQ endpoint of a running server")
     ap.add_argument("--store", type=str, default=None)
+    ap.add_argument("--scheme", choices=["ipa", "kzg"], default="ipa")
     args = ap.parse_args()
 
     import jax
@@ -37,7 +38,7 @@ def main():
                                               ZmqClientTransport, serve_zmq)
 
     store = args.store or tempfile.mkdtemp(prefix="porla_store_")
-    cfg = PorlaConfig(scheme="ipa", storage_dir=store)
+    cfg = PorlaConfig(scheme=args.scheme, storage_dir=store)
 
     if args.serve:
         print(f"serving on tcp://*:{cfg.server_port}, store={store}")

@@ -344,11 +344,36 @@ class PorlaClient:
 
     # ------------------------------------------------------------ self test
 
-    def self_test(self, epochs: int = 1, audits_per_epoch: int = 1) -> None:
-        """Reduced version of the reference driver (Client.hpp:894-919)."""
+    def self_test(self, epochs: int = 1, audits_per_epoch: int = 1) -> dict:
+        """The reference's self-test driver with its amortized-cost meter
+        (Client.hpp:894-919: epochs of n round-robin updates, audits after
+        the last write of each epoch, amortized seconds per request)."""
+        import time
+
+        total = 0.0
+        requests = 0
+        audit_time = 0.0
+        audits = 0
         for _ in range(epochs):
             for i in range(self.num_blocks):
+                t0 = time.perf_counter()
                 self.update(i + 1)
+                total += time.perf_counter() - t0
+                requests += 1
                 if i == self.num_blocks - 1:
                     for _ in range(audits_per_epoch):
+                        t0 = time.perf_counter()
                         self.audit()
+                        audit_time += time.perf_counter() - t0
+                        audits += 1
+        stats = {
+            "requests": requests,
+            "amortized_update_s": total / max(requests, 1),
+            "audits": audits,
+            "mean_audit_s": audit_time / max(audits, 1),
+        }
+        print(f"Total number of requests: {requests}")
+        print(f"Amortized cost for each request: "
+              f"{stats['amortized_update_s']:.3f}s")
+        print(f"Mean audit time: {stats['mean_audit_s']:.3f}s")
+        return stats

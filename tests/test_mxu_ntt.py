@@ -106,3 +106,19 @@ def test_encode_stage8_matches_engine():
         mats8 = mxu.stage_twiddle_mats8(ctx, ctx.mod_p, 1 << (s - 1))
         d = mxu.encode_stage8(np, ctx.mod_p, d, s, mats8)
     assert (mxu.limbs_from_digits(np, d) == np.asarray(ref.p)).all()
+
+
+def test_constant_geometry_encode_matches_engine():
+    """mxu_cg (relayout-free stage pipeline) is bit-exact vs the engine."""
+    from porla_tpu.ntt import mxu_cg
+
+    for n, C in [(2, 3), (16, 4)]:
+        ctx = engine.NttContext(n, "ipa")
+        vals = [rng.randrange(ctx.mod_p.n) for _ in range(n * C)]
+        arr = limbs.ints_to_limbs(vals).reshape(n, C, limbs.NLIMBS)
+        ref = engine.encode_stages(np, ctx, engine.CrtArray(arr, arr))
+        digs = mxu.digits_from_limbs(np, arr)
+        for lane_mod, want in ((ctx.mod_p, ref.p), (ctx.mod_q, ref.q)):
+            got = mxu.limbs_from_digits(
+                np, mxu_cg.encode_cg(np, ctx, lane_mod, digs))
+            assert np.array_equal(got, want)
