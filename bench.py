@@ -32,7 +32,7 @@ REFERENCE_CPU_COEFFS_PER_S = 1.2e6  # estimated; BENCH_NOTES.md
 
 
 def main():
-    from porla_tpu.ntt import engine, mxu
+    from porla_tpu.ntt import engine, mxu_cg, pallas_stage
 
     on_tpu = jax.default_backend() == "tpu"
     n = 1 << 14 if on_tpu else 1 << 8
@@ -40,44 +40,43 @@ def main():
     ctx = engine.NttContext(n, "ipa")
     # Toeplitz twiddle stacks as device arrays (passed as args so they are
     # not baked into the compiled program)
-    mats_p = [jnp.asarray(mxu.stage_twiddle_mats8(ctx, ctx.mod_p, 1 << (s - 1)))
-              for s in range(1, ctx.height)]
-    mats_q = [jnp.asarray(mxu.stage_twiddle_mats8(ctx, ctx.mod_q, 1 << (s - 1)))
-              for s in range(1, ctx.height)]
+    mats_p = [jnp.asarray(m) for m in
+              mxu_cg.stage_mats_list(ctx, ctx.mod_p)]
+    mats_q = [jnp.asarray(m) for m in
+              mxu_cg.stage_mats_list(ctx, ctx.mod_q)]
     nstages = ctx.height - 1
 
-    # one executable per stage (a single fused program compiles poorly and
-    # runs ~40x slower; per-stage dispatch is also the deployment shape)
-    stage_p = [jax.jit(lambda a, m, s=s: mxu.encode_stage8(
-        jnp, ctx.mod_p, a, s, m)) for s in range(1, ctx.height)]
-    stage_q = [jax.jit(lambda a, m, s=s: mxu.encode_stage8(
-        jnp, ctx.mod_q, a, s, m)) for s in range(1, ctx.height)]
-
-    def encode(ap, aq, *mats):
-        for i in range(nstages):
-            ap = stage_p[i](ap, mats[i])
-            aq = stage_q[i](aq, mats[nstages + i])
-        return ap, aq
+    # fused Pallas stage kernel over the constant-geometry dataflow
+    # (porla_tpu/ntt/pallas_stage.py), one executable per stage shape,
+    # both CRT lanes
+    def encode(up, tp, uq, tq):
+        for i in range(nstages - 1):
+            up, tp = pallas_stage.cg_step(up, tp, mats_p[i], ctx.mod_p)
+            uq, tq = pallas_stage.cg_step(uq, tq, mats_q[i], ctx.mod_q)
+        outp = pallas_stage.cg_step(up, tp, mats_p[-1], ctx.mod_p)
+        outq = pallas_stage.cg_step(uq, tq, mats_q[-1], ctx.mod_q)
+        return outp, outq
 
     rng = np.random.default_rng(0)
     # random 8-bit digits are a valid canonical-value subset; throughput
     # is data-independent
-    ap = jnp.asarray(rng.integers(0, 1 << 8, (n, nchunks, 32),
-                                  dtype=np.uint32))
-    aq = jnp.asarray(rng.integers(0, 1 << 8, (n, nchunks, 32),
-                                  dtype=np.uint32))
+    ap = rng.integers(0, 1 << 8, (n, nchunks, 32), dtype=np.uint32)
+    aq = rng.integers(0, 1 << 8, (n, nchunks, 32), dtype=np.uint32)
+    up, tp = (jnp.asarray(z) for z in mxu_cg.cg_prepare(ap))
+    uq, tq = (jnp.asarray(z) for z in mxu_cg.cg_prepare(aq))
 
-    wp, wq = encode(ap, aq, *mats_p, *mats_q)  # compile + warm
-    _ = np.asarray(wp[0, 0, :1])  # true barrier (block_until_ready can
-    _ = np.asarray(wq[0, 0, :1])  # return early through the device tunnel)
-    # chain reps through data dependencies and finish with a host fetch so
-    # async dispatch through the device tunnel cannot fake completion
+    def one_round():
+        # end with host fetches of both outputs: a true barrier per round
+        # (block_until_ready returns early through the device tunnel)
+        wp, wq = encode(up, tp, uq, tq)
+        _ = np.asarray(wp[0, 0, 0, :1])
+        _ = np.asarray(wq[0, 0, 0, :1])
+
+    one_round()  # compile + warm
     reps = 3
     t0 = time.perf_counter()
-    bp, bq = ap, aq
     for _ in range(reps):
-        bp, bq = encode(bp, bq, *mats_p, *mats_q)
-    _ = np.asarray(bp[0, 0, :1])
+        one_round()
     dt = (time.perf_counter() - t0) / reps
 
     coeffs_per_s = n * nchunks / dt

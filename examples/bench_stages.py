@@ -35,7 +35,8 @@ def main():
     ap.add_argument("--c", type=int, default=128)
     ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--which", default="all",
-                    help="comma list: old,cg,cg2")
+                    help="comma list: old,cg,cg2,pallas")
+    ap.add_argument("--bt", type=int, default=512)
     args = ap.parse_args()
 
     from porla_tpu.ntt import engine, mxu, mxu_cg
@@ -49,7 +50,7 @@ def main():
     arr = rng.integers(0, 1 << 8, (n, C, 32), dtype=np.uint32)
     coeffs = n * C
     which = args.which.split(",") if args.which != "all" else [
-        "old", "cg", "cg2"]
+        "old", "cg", "cg2", "pallas"]
 
     def run(name, warm_and_run):
         t_c0 = time.perf_counter()
@@ -125,6 +126,91 @@ def main():
             x = final_cg(u, t, mats[-1])
             fetch(x)
         run("cg2", run_cg2)
+
+
+    # --- cg dataflow driven by the fused Pallas stage kernel
+    if "pallas" in which:
+        from porla_tpu.ntt import pallas_stage
+
+        u0, t0_ = mxu_cg.cg_prepare(arr)
+        u0, t0_ = jnp.asarray(u0), jnp.asarray(t0_)
+
+        bound = [jax.jit(
+            lambda u, t, m, m2=(1 << (s - 1)): _pl_step(
+                pallas_stage, ctx, u, t, m, m2, args.bt))
+            for s in range(1, ctx.height)]
+
+        def run_pl():
+            u, t = u0, t0_
+            for i in range(nstages - 1):
+                u, t = bound[i](u, t, mats[i])
+            x = bound[-1](u, t, mats[-1])
+            fetch(x[0])
+        run("pallas", run_pl)
+
+    if "2lane" in which:
+        _twolane(args, ctx, mats, arr, run)
+    if "1lane" in which:
+        _onelane_cgstep(args, ctx, mats, arr, run)
+
+
+def _pl_step(pallas_stage, ctx, u, t, m, m2, bt):
+    """One cg stage via the Pallas kernel + slice/concat boundary."""
+    import jax.numpy as jnp
+    G = u.shape[2]
+    C = u.shape[3]
+    u3 = u.reshape(m2, 32, G * C)
+    t3 = t.reshape(m2, 32, G * C)
+    hi, lo = pallas_stage.butterfly_stage(u3, t3, m, ctx.mod_p, bt=bt)
+    hi = hi.reshape(m2, 32, G, C)
+    lo = lo.reshape(m2, 32, G, C)
+    if G == 1:
+        return (jnp.concatenate([hi, lo], axis=0),)
+    h = G // 2
+    return (jnp.concatenate([hi[:, :, :h], lo[:, :, :h]], axis=0),
+            jnp.concatenate([hi[:, :, h:], lo[:, :, h:]], axis=0))
+
+
+
+
+def _twolane(args, ctx, mats, arr, run):
+    """pallas kernels, both lanes interleaved (bench.py's shape)."""
+    import jax.numpy as jnp
+    import numpy as np
+    from porla_tpu.ntt import mxu_cg, pallas_stage
+
+    mats_q = [jnp.asarray(m) for m in
+              mxu_cg.stage_mats_list(ctx, ctx.mod_q)]
+    u0, t0_ = (jnp.asarray(z) for z in mxu_cg.cg_prepare(arr))
+    nstages = ctx.height - 1
+
+    def run_2l():
+        up, tp, uq, tq = u0, t0_, u0, t0_
+        for i in range(nstages - 1):
+            up, tp = pallas_stage.cg_step(up, tp, mats[i], ctx.mod_p)
+            uq, tq = pallas_stage.cg_step(uq, tq, mats_q[i], ctx.mod_q)
+        xp_ = pallas_stage.cg_step(up, tp, mats[-1], ctx.mod_p)
+        xq_ = pallas_stage.cg_step(uq, tq, mats_q[-1], ctx.mod_q)
+        fetch(xp_)
+        fetch(xq_)
+    run("2lane", run_2l)
+
+
+def _onelane_cgstep(args, ctx, mats, arr, run):
+    """pallas kernels via cg_step (one lane) — vs the _pl_step variant."""
+    import jax.numpy as jnp
+    from porla_tpu.ntt import mxu_cg, pallas_stage
+
+    u0, t0_ = (jnp.asarray(z) for z in mxu_cg.cg_prepare(arr))
+    nstages = ctx.height - 1
+
+    def run_1l():
+        u, t = u0, t0_
+        for i in range(nstages - 1):
+            u, t = pallas_stage.cg_step(u, t, mats[i], ctx.mod_p)
+        x = pallas_stage.cg_step(u, t, mats[-1], ctx.mod_p)
+        fetch(x)
+    run("1lane", run_1l)
 
 
 if __name__ == "__main__":
