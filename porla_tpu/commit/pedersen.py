@@ -61,14 +61,44 @@ def _commit_fn(nbits: int, ops=None):
     return f
 
 
+@lru_cache(maxsize=None)
+def _reduce_commit_fn(ops: "object", ng: int):
+    @jax.jit
+    def f(px, py, pz):
+        # (B*NG, 16) parts -> per-block sums over the generator axis
+        def rearr(a):
+            b = a.shape[0] // ng
+            return jnp.moveaxis(a.reshape(b, ng, a.shape[-1]), 1, 0)
+        out = ops.tree_sum(jnp, JacPoint(rearr(px), rearr(py), rearr(pz)),
+                           axis=0)
+        return out.x[0], out.y[0], out.z[0]
+    return f
+
+
 def commit_blocks(generators: JacPoint, scalars, nbits: int = 256,
                   ops=None) -> JacPoint:
     """scalars: (B, NUM_GENERATORS, 16) standard-form chunk values ->
     JacPoint batch (B,) of commitments (sum_i s_i * G_i over any curve).
     Processes in COMMIT_BATCH slices (padding the tail with zero scalars
     -> infinity contributions)."""
+    from porla_tpu.curves import pallas_curve
     scalars = np.asarray(scalars, dtype=np.uint32)
     B = scalars.shape[0]
+    if pallas_curve.use_pallas():
+        ops = ops or secp256k1()
+        ng = scalars.shape[1]
+        bp = 1 << max(0, B - 1).bit_length()
+        if B < bp:
+            scalars = np.concatenate(
+                [scalars, np.zeros((bp - B,) + scalars.shape[1:],
+                                   np.uint32)], 0)
+        gens = JacPoint(*(np.tile(np.asarray(c), (bp, 1))
+                          for c in generators))
+        parts = pallas_curve.scalar_mul(
+            ops, gens, scalars.reshape(bp * ng, -1), nbits)
+        out = JacPoint(*_reduce_commit_fn(ops, ng)(parts.x, parts.y,
+                                                   parts.z))
+        return JacPoint(out.x[:B], out.y[:B], out.z[:B])
     f = _commit_fn(nbits, ops)
     outs = []
     for s in range(0, B, COMMIT_BATCH):

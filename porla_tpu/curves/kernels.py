@@ -92,10 +92,31 @@ def _msm_fn(ops: CurveOps, nbits: int):
     return f
 
 
+@lru_cache(maxsize=None)
+def _tree_sum_fn(ops: CurveOps):
+    @jax.jit
+    def f(px, py, pz):
+        return tuple(ops.tree_sum(jnp, JacPoint(px, py, pz), axis=0))
+    return f
+
+
+def tree_sum(ops: CurveOps, p: JacPoint) -> JacPoint:
+    """Jitted point-add reduction over the (power-of-two-padded) leading
+    axis -> (1,) point."""
+    m = _pad_len(p.x.shape[0])
+    p = _pad_point(to_device(p), m)
+    return JacPoint(*_tree_sum_fn(ops)(p.x, p.y, p.z))
+
+
 def msm(ops: CurveOps, points: JacPoint, scalars, nbits: int = 256) -> JacPoint:
-    """sum_i scalars[i]*points[i] over the leading axis -> batch-() point.
+    """sum_i scalars[i]*points[i] over the leading axis -> batch-(1,) point.
 
     Padded lanes contribute the identity (zero scalar * infinity)."""
+    from porla_tpu.curves import pallas_curve
+    if pallas_curve.use_pallas() and points.x.ndim == 2:
+        parts = pallas_curve.scalar_mul(ops, points, np.asarray(scalars),
+                                        nbits)
+        return tree_sum(ops, parts)
     n = points.x.shape[0]
     m = _pad_len(n)
     points = _pad_point(points, m)

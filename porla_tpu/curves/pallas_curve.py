@@ -1,0 +1,390 @@
+"""Fused Pallas elliptic-curve kernels: the MAC-mirror fast path.
+
+The protocol's hot EC ops (the point butterfly M0 +/- tw*M1 inside
+mix/CRebuild, point scaling, per-block commitment MSMs) run thousands of
+independent 256-bit scalar multiplications. The XLA limb path
+(curves/weierstrass.py over fields/mont.py) bottlenecks on VPU u32
+multiplies and HBM round-trips between fusions — the same disease the
+NTT had (see ntt/pallas_stage.py).
+
+This module runs whole scalar-muls in VMEM:
+
+- Field elements are (32, lanes) byte-digit tiles (Montgomery form).
+- mul = VPU f32 convolution (exact: byte products < 2^16, column sums
+  < 2^21 < 2^24) + the Toeplitz-matmul Montgomery reduction and
+  packed-carry normalization shared with the NTT stage kernel.
+- Point double/add are the same branchless dbl-2009-l / add-2007-bl
+  formulas as weierstrass.py, on digit tiles.
+- scalar_mul: 4-bit windowed double-and-add with the 16-entry
+  per-lane table resident in VMEM; the window loop is a fori_loop.
+- butterfly: scalar_mul fused with the two Jacobian adds.
+
+Replaces the per-point CPU loops of the reference's libsecp256k1
+(group_impl.h:336, ecmult_impl.h:335, ecmult_const_impl.h:137) with
+batch kernels. Bit-exact vs the golden models (tests/test_pallas_curve).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from porla_tpu.curves.weierstrass import CurveOps, JacPoint
+from porla_tpu.fields import limbs as L
+from porla_tpu.fields import mont
+from porla_tpu.ntt import mxu
+from porla_tpu.ntt.mxu import ND
+from porla_tpu.ntt.pallas_stage import (_add_mod, _cond_sub, _f32_to_u32,
+                                        _fold, _resolve, _sub_mod,
+                                        _u32_to_bf16)
+
+_M8 = np.uint32(0xFF)
+
+
+def use_pallas() -> bool:
+    """Route protocol EC ops through these kernels? On the TPU backend
+    yes (PORLA_NO_PALLAS=1 overrides); on CPU the interpret path is far
+    slower than the XLA limb path, so tests keep the latter."""
+    import os
+    return (jax.default_backend() == "tpu"
+            and os.environ.get("PORLA_NO_PALLAS") != "1")
+
+
+# --- in-kernel field ops on (32, B) byte-digit tiles ------------------------
+
+def _conv_columns(a, b):
+    """Exact product columns of two canonical byte-digit tiles:
+    (32, B) x (32, B) -> (64, B) u32 columns < 2^21 (f32 FMA on VPU)."""
+    af = a.astype(jnp.int32).astype(jnp.float32)
+    bf = b.astype(jnp.int32).astype(jnp.float32)
+    acc = jnp.zeros((2 * ND, a.shape[1]), jnp.float32)
+    for i in range(ND):
+        # shifted-add accumulation (Mosaic cannot lower slice-scatter)
+        acc = acc + jnp.pad(af[i:i + 1] * bf, ((i, ND - i), (0, 0)))
+    return _f32_to_u32(acc)
+
+
+def _redc(t256, tabs):
+    """Montgomery-reduce (64, B) product columns -> canonical digits.
+    Same tail as the NTT stage kernel."""
+    mN_, mN, nd, _ = tabs
+    t_low, _ = _resolve(_fold(t256[:ND], ND))
+    m256 = _f32_to_u32(jnp.dot(mN_, _u32_to_bf16(t_low),
+                               preferred_element_type=jnp.float32))
+    m, _ = _resolve(_fold(m256, ND))
+    u256 = _f32_to_u32(jnp.dot(mN, _u32_to_bf16(m),
+                               preferred_element_type=jnp.float32))
+    sn, _ = _resolve(_fold(u256 + t256, 66))
+    return _cond_sub(sn[ND:2 * ND], sn[2 * ND:2 * ND + 1], nd)
+
+
+def _f_mul(a, b, tabs):
+    return _redc(_conv_columns(a, b), tabs)
+
+
+def _f_is_zero(d):
+    return jnp.sum(d.astype(jnp.int32), axis=0, keepdims=True) == 0
+
+
+def _f_eq(a, b):
+    return jnp.sum((a ^ b).astype(jnp.int32), axis=0, keepdims=True) == 0
+
+
+def _sel(mask, a, b):
+    return jnp.where(mask, a, b)
+
+
+def _sel_pt(mask, a, b):
+    return tuple(_sel(mask, x, y) for x, y in zip(a, b))
+
+
+# --- in-kernel point ops (Jacobian, a=0 curves) -----------------------------
+
+def _p_neg(p, tabs):
+    nd = tabs[2]
+    x, y, z = p
+    zero = y & np.uint32(0)
+    ny = _sel(_f_is_zero(y), y, _sub_mod(zero, y, nd))
+    return (x, ny, z)
+
+
+def _p_dbl(p, tabs):
+    """dbl-2009-l (weierstrass.double)."""
+    nd = tabs[2]
+    X, Y, Z = p
+    A = _f_mul(X, X, tabs)
+    B = _f_mul(Y, Y, tabs)
+    C = _f_mul(B, B, tabs)
+    xb = _add_mod(X, B, nd)
+    xb2 = _f_mul(xb, xb, tabs)
+    YZ = _f_mul(Y, Z, tabs)
+    D = _sub_mod(_sub_mod(xb2, A, nd), C, nd)
+    D = _add_mod(D, D, nd)
+    E = _add_mod(_add_mod(A, A, nd), A, nd)
+    F = _f_mul(E, E, tabs)
+    X3 = _sub_mod(F, _add_mod(D, D, nd), nd)
+    C2 = _add_mod(C, C, nd)
+    C4 = _add_mod(C2, C2, nd)
+    C8 = _add_mod(C4, C4, nd)
+    Y3 = _sub_mod(_f_mul(E, _sub_mod(D, X3, nd), tabs), C8, nd)
+    Z3 = _add_mod(YZ, YZ, nd)
+    return (X3, Y3, Z3)
+
+
+def _p_add(p1, p2, tabs):
+    """add-2007-bl with branchless infinity/doubling/inverse handling
+    (weierstrass.add)."""
+    nd, rd = tabs[2], tabs[3]
+    X1, Y1, Z1 = p1
+    X2, Y2, Z2 = p2
+    Z1Z1 = _f_mul(Z1, Z1, tabs)
+    Z2Z2 = _f_mul(Z2, Z2, tabs)
+    A1 = _f_mul(Y1, Z2, tabs)
+    A2 = _f_mul(Y2, Z1, tabs)
+    U1 = _f_mul(X1, Z2Z2, tabs)
+    U2 = _f_mul(X2, Z1Z1, tabs)
+    S1 = _f_mul(A1, Z2Z2, tabs)
+    S2 = _f_mul(A2, Z1Z1, tabs)
+    H = _sub_mod(U2, U1, nd)
+    R = _sub_mod(S2, S1, nd)
+    HH = _f_mul(H, H, tabs)
+    RR = _f_mul(R, R, tabs)
+    Z1Z2 = _f_mul(Z1, Z2, tabs)
+    HHH = _f_mul(H, HH, tabs)
+    V = _f_mul(U1, HH, tabs)
+    Z3 = _f_mul(Z1Z2, H, tabs)
+    X3 = _sub_mod(_sub_mod(RR, HHH, nd), _add_mod(V, V, nd), nd)
+    Y3 = _sub_mod(_f_mul(R, _sub_mod(V, X3, nd), tabs),
+                  _f_mul(S1, HHH, tabs), nd)
+    raw = (X3, Y3, Z3)
+
+    p1_inf = _f_is_zero(Z1)
+    p2_inf = _f_is_zero(Z2)
+    h_zero = _f_eq(U1, U2)
+    r_zero = _f_eq(S1, S2)
+    both = ~p1_inf & ~p2_inf
+    dbl_case = both & h_zero & r_zero
+    inf_case = both & h_zero & ~r_zero
+
+    zero = X1 & np.uint32(0)
+    inf_pt = (rd + zero, rd + zero, zero)
+    out = _sel_pt(dbl_case, _p_dbl(p1, tabs), raw)
+    out = _sel_pt(inf_case, inf_pt, out)
+    out = _sel_pt(p2_inf, p1, out)
+    out = _sel_pt(p1_inf, p2, out)
+    return out
+
+
+def _build_table(p, tabs):
+    """T[d] = d*P for d in 0..15, stacked (16, 32, B) per coordinate."""
+    rd = tabs[3]
+    zero = p[0] & np.uint32(0)
+    table = [(rd + zero, rd + zero, zero), p]
+    for d in range(2, 16):
+        if d % 2 == 0:
+            table.append(_p_dbl(table[d // 2], tabs))
+        else:
+            table.append(_p_add(table[d - 1], p, tabs))
+    return tuple(jnp.stack([t[c] for t in table], axis=0) for c in range(3))
+
+
+def _lookup(tbl, digit):
+    """Branchless 16-way select; digit (1, B)."""
+    out = []
+    for c in range(3):
+        acc = jnp.zeros_like(tbl[c][0])
+        for d in range(16):
+            acc = acc | jnp.where(digit == np.uint32(d), tbl[c][d],
+                                  np.uint32(0))
+        out.append(acc)
+    return tuple(out)
+
+
+def _scalar_mul_body(p, s, tabs, nbits):
+    """Windowed (4-bit, MSB-first) scalar mul; matches
+    weierstrass.scalar_mul. s: (32, B) byte digits holding the scalar
+    PRE-SHIFTED so its top window sits in the top nibble (the wrapper
+    rolls scalars left by 256-nbits bits). The loop carries the shifted
+    scalar and peels the top nibble each window — Mosaic has no
+    dynamic_slice on values, so all indexing is static."""
+    rd = tabs[3]
+    tbl = _build_table(p, tabs)
+    zero = p[0] & np.uint32(0)
+    nwin = nbits // 4
+    acc0 = (rd + zero, rd + zero, zero)
+
+    def body(_, carry):
+        (ax, ay, az), s = carry
+        digit = s[ND - 1:ND] >> np.uint32(4)
+        s2 = ((s << np.uint32(4)) & _M8) \
+            | jnp.pad(s[:ND - 1] >> np.uint32(4), ((1, 0), (0, 0)))
+        acc = (ax, ay, az)
+        acc = _p_dbl(acc, tabs)
+        acc = _p_dbl(acc, tabs)
+        acc = _p_dbl(acc, tabs)
+        acc = _p_dbl(acc, tabs)
+        acc = _p_add(acc, _lookup(tbl, digit), tabs)
+        return (acc, s2)
+
+    (acc, _) = jax.lax.fori_loop(0, nwin, body, (acc0, s))
+    return acc
+
+
+# --- kernels ----------------------------------------------------------------
+
+def _smul_kernel(nbits, x_ref, y_ref, z_ref, s_ref,
+                 mN__ref, mN_ref, nd_ref, rd_ref, ox, oy, oz):
+    tabs = (mN__ref[:], mN_ref[:], nd_ref[:], rd_ref[:])
+    p = (x_ref[:], y_ref[:], z_ref[:])
+    r = _scalar_mul_body(p, s_ref[:], tabs, nbits)
+    ox[:], oy[:], oz[:] = r
+
+
+def _butterfly_kernel(nbits, m0x, m0y, m0z, m1x, m1y, m1z, s_ref,
+                      mN__ref, mN_ref, nd_ref, rd_ref,
+                      hx, hy, hz, lx, ly, lz):
+    tabs = (mN__ref[:], mN_ref[:], nd_ref[:], rd_ref[:])
+    m1 = (m1x[:], m1y[:], m1z[:])
+    t = _scalar_mul_body(m1, s_ref[:], tabs, nbits)
+    m0 = (m0x[:], m0y[:], m0z[:])
+    hx[:], hy[:], hz[:] = _p_add(m0, t, tabs)
+    lx[:], ly[:], lz[:] = _p_add(m0, _p_neg(t, tabs), tabs)
+
+
+# --- host-side wrappers -----------------------------------------------------
+
+@lru_cache(maxsize=None)
+def _curve_tables(fp: mont.Modulus):
+    mN_, mN = mxu._mod_mats8(fp)
+    nd = mxu._mod_digits(fp).reshape(ND, 1)
+    r_digits = np.asarray([(fp.r % fp.n) >> (8 * k) & 0xFF
+                           for k in range(ND)], np.uint32).reshape(ND, 1)
+    return (np.asarray(mN_, np.float32).astype(jnp.bfloat16),
+            np.asarray(mN, np.float32).astype(jnp.bfloat16),
+            np.ascontiguousarray(nd), r_digits)
+
+
+def _table_specs():
+    fixed = lambda b: (0, 0)  # noqa: E731
+    return [
+        pl.BlockSpec((ND, ND), fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec((2 * ND, ND), fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec((ND, 1), fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec((ND, 1), fixed, memory_space=pltpu.VMEM),
+    ]
+
+
+@lru_cache(maxsize=None)
+def _smul_call(nbits: int, B: int, bt: int, interpret: bool):
+    from functools import partial
+    spec = pl.BlockSpec((ND, bt), lambda b: (0, b),
+                        memory_space=pltpu.VMEM)
+    out = jax.ShapeDtypeStruct((ND, B), jnp.uint32)
+    return jax.jit(pl.pallas_call(
+        partial(_smul_kernel, nbits),
+        grid=(B // bt,),
+        in_specs=[spec] * 4 + _table_specs(),
+        out_specs=(spec,) * 3,
+        out_shape=(out,) * 3,
+        interpret=interpret,
+    ))
+
+
+@lru_cache(maxsize=None)
+def _butterfly_call(nbits: int, B: int, bt: int, interpret: bool):
+    from functools import partial
+    spec = pl.BlockSpec((ND, bt), lambda b: (0, b),
+                        memory_space=pltpu.VMEM)
+    out = jax.ShapeDtypeStruct((ND, B), jnp.uint32)
+    return jax.jit(pl.pallas_call(
+        partial(_butterfly_kernel, nbits),
+        grid=(B // bt,),
+        in_specs=[spec] * 7 + _table_specs(),
+        out_specs=(spec,) * 6,
+        out_shape=(out,) * 6,
+        interpret=interpret,
+    ))
+
+
+def _digits_T(a) -> "jnp.ndarray":
+    """(B, 16) u32 limbs -> (32, B) byte-digit tiles."""
+    d = mxu.digits_from_limbs(jnp, jnp.asarray(a))     # (B, 32)
+    return d.T
+
+
+def _limbs_T(d) -> "jnp.ndarray":
+    """(32, B) digit tiles -> (B, 16) limbs."""
+    return mxu.limbs_from_digits(jnp, jnp.asarray(d).T)
+
+
+def _prep(B0: int, bt: int):
+    """Pad the batch to a lane-aligned size; pick the tile width."""
+    B = max(128, -(-B0 // 128) * 128)
+    btr = min(bt, B)
+    while B % btr:
+        btr >>= 1
+    return B, btr
+
+
+def _pad_to(a, B):
+    cur = a.shape[0]
+    if cur == B:
+        return np.asarray(a)
+    pad = np.zeros((B - cur,) + a.shape[1:], np.uint32)
+    return np.concatenate([np.asarray(a), pad], axis=0)
+
+
+def _scalar_digits(scalars, B: int, nbits: int):
+    """(B0, 16)-limb scalars -> (32, B) digit tiles pre-shifted left by
+    256-nbits bits (the kernel peels MSB windows from the top nibble).
+    Scalars must be < 2^nbits (the low nbits are used, as in
+    weierstrass.scalar_mul)."""
+    assert nbits % 8 == 0
+    d = np.asarray(mxu.digits_from_limbs(np, _pad_to(scalars, B)))
+    k = (256 - nbits) // 8
+    if k:
+        d = np.concatenate(
+            [np.zeros((d.shape[0], k), np.uint32), d[:, :ND - k]], axis=1)
+    return jnp.asarray(np.ascontiguousarray(d.T))
+
+
+def scalar_mul(ops: CurveOps, p: JacPoint, scalars, nbits: int = 256,
+               bt: int = 256, interpret: bool | None = None) -> JacPoint:
+    """Batched scalars[i] * p[i] over the leading axis via the fused
+    kernel. p: (B, 16)-limb JacPoint (Montgomery); scalars (B, 16)
+    standard-form limbs. Semantics match weierstrass.scalar_mul."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B0 = p.x.shape[0]
+    B, bt_r = _prep(B0, bt)
+    fn = _smul_call(nbits, B, bt_r, interpret)
+    tabs = _curve_tables(ops.fp)
+    args = [_digits_T(_pad_to(c, B)) for c in (p.x, p.y, p.z)]
+    sc = _scalar_digits(scalars, B, nbits)
+    x, y, z = fn(*args, sc, *(jnp.asarray(t) for t in tabs))
+    return JacPoint(_limbs_T(x)[:B0], _limbs_T(y)[:B0], _limbs_T(z)[:B0])
+
+
+def point_butterfly(ops: CurveOps, m0: JacPoint, m1: JacPoint, scalars,
+                    nbits: int = 256, bt: int = 256,
+                    interpret: bool | None = None):
+    """(m0 + s*m1, m0 - s*m1) per lane — the MAC-mirror butterfly
+    (reference Server.hpp:1592-1609) as one fused kernel."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    B0 = m0.x.shape[0]
+    B, bt_r = _prep(B0, bt)
+    fn = _butterfly_call(nbits, B, bt_r, interpret)
+    tabs = _curve_tables(ops.fp)
+    args = [_digits_T(_pad_to(c, B))
+            for c in (m0.x, m0.y, m0.z, m1.x, m1.y, m1.z)]
+    sc = _scalar_digits(scalars, B, nbits)
+    out = fn(*args, sc, *(jnp.asarray(t) for t in tabs))
+    hi = JacPoint(*(_limbs_T(c)[:B0] for c in out[:3]))
+    lo = JacPoint(*(_limbs_T(c)[:B0] for c in out[3:]))
+    return hi, lo

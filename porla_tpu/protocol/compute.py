@@ -96,9 +96,23 @@ def point_butterfly(M0s: list[JacPoint], M1s: list[JacPoint],
     """Butterfly several point planes with shared twiddles:
     returns ([M0 + v*M1], [M0 - v*M1]) per plane. Planes are stacked into
     one kernel call; the L axis is padded to a power of two."""
+    from porla_tpu.curves import pallas_curve
     ops = ops or secp256k1()
     nplanes = len(M0s)
     L = M0s[0].x.shape[0]
+    if pallas_curve.use_pallas():
+        def cat(ms):
+            return JacPoint(
+                np.concatenate([np.asarray(m.x) for m in ms], 0),
+                np.concatenate([np.asarray(m.y) for m in ms], 0),
+                np.concatenate([np.asarray(m.z) for m in ms], 0))
+        tws = np.tile(np.asarray(tw.std)[:L], (nplanes, 1))
+        hi, lo = pallas_curve.point_butterfly(ops, cat(M0s), cat(M1s), tws)
+        his = [JacPoint(hi.x[i * L:(i + 1) * L], hi.y[i * L:(i + 1) * L],
+                        hi.z[i * L:(i + 1) * L]) for i in range(nplanes)]
+        los = [JacPoint(lo.x[i * L:(i + 1) * L], lo.y[i * L:(i + 1) * L],
+                        lo.z[i * L:(i + 1) * L]) for i in range(nplanes)]
+        return his, los
     Lp = _pad_pow2(L)
     stack0 = ck.concat([ck.to_device(_pad_inf(m, Lp)) for m in M0s])
     stack1 = ck.concat([ck.to_device(_pad_inf(m, Lp)) for m in M1s])
@@ -144,7 +158,12 @@ def _point_scale_fn(ops: CurveOps, nbits: int):
 
 def point_scale(M: JacPoint, scalars, nbits: int = 256, ops=None) -> JacPoint:
     """Batched v_i * M_i with power-of-two padding (one executable)."""
+    from porla_tpu.curves import pallas_curve
     L = M.x.shape[0]
+    if pallas_curve.use_pallas():
+        sc = np.asarray(scalars, dtype=np.uint32)
+        sc = np.broadcast_to(sc, (L, limbs.NLIMBS))
+        return pallas_curve.scalar_mul(ops or secp256k1(), M, sc, nbits)
     Lp = _pad_pow2(L)
     Mp = ck.to_device(_pad_inf(ck.to_host(M), Lp))
     sc = np.asarray(scalars, dtype=np.uint32)
