@@ -114,8 +114,10 @@ def msm(ops: CurveOps, points: JacPoint, scalars, nbits: int = 256) -> JacPoint:
     Padded lanes contribute the identity (zero scalar * infinity)."""
     from porla_tpu.curves import pallas_curve
     if pallas_curve.use_pallas() and points.x.ndim == 2:
+        # keep_pad: the reduction shape stays one-per-128-lane-bucket, so
+        # varying audit sample counts reuse one tree_sum executable
         parts = pallas_curve.scalar_mul(ops, points, np.asarray(scalars),
-                                        nbits)
+                                        nbits, keep_pad=True)
         return tree_sum(ops, parts)
     n = points.x.shape[0]
     m = _pad_len(n)

@@ -354,10 +354,15 @@ def _scalar_digits(scalars, B: int, nbits: int):
 
 
 def scalar_mul(ops: CurveOps, p: JacPoint, scalars, nbits: int = 256,
-               bt: int = 256, interpret: bool | None = None) -> JacPoint:
+               bt: int = 256, interpret: bool | None = None,
+               keep_pad: bool = False) -> JacPoint:
     """Batched scalars[i] * p[i] over the leading axis via the fused
     kernel. p: (B, 16)-limb JacPoint (Montgomery); scalars (B, 16)
-    standard-form limbs. Semantics match weierstrass.scalar_mul."""
+    standard-form limbs. Semantics match weierstrass.scalar_mul.
+
+    keep_pad=True returns the full lane-aligned batch (padded lanes hold
+    the point at infinity) so downstream reductions see a constant shape
+    per 128-lane bucket instead of recompiling per exact size."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     B0 = p.x.shape[0]
@@ -367,6 +372,8 @@ def scalar_mul(ops: CurveOps, p: JacPoint, scalars, nbits: int = 256,
     args = [_digits_T(_pad_to(c, B)) for c in (p.x, p.y, p.z)]
     sc = _scalar_digits(scalars, B, nbits)
     x, y, z = fn(*args, sc, *(jnp.asarray(t) for t in tabs))
+    if keep_pad:
+        return JacPoint(_limbs_T(x), _limbs_T(y), _limbs_T(z))
     return JacPoint(_limbs_T(x)[:B0], _limbs_T(y)[:B0], _limbs_T(z)[:B0])
 
 

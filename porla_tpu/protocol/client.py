@@ -32,6 +32,7 @@ from porla_tpu.golden import ecc
 from porla_tpu.ntt.engine import NttContext
 from porla_tpu.protocol import auditing, compute, hlog, points_io
 from porla_tpu.protocol.hlog import Level, Planes
+from porla_tpu.utils import trace
 
 
 class AuditError(AssertionError):
@@ -114,6 +115,10 @@ class PorlaClient:
     # ----------------------------------------------------------- initialize
 
     def initialize(self, num_blocks: int) -> None:
+        with trace.span("client.initialize", n=num_blocks):
+            self._initialize_impl(num_blocks)
+
+    def _initialize_impl(self, num_blocks: int) -> None:
         self.num_blocks = num_blocks
         self.ctx = NttContext(num_blocks, self.config.scheme)
         self.height = self.ctx.height
@@ -164,6 +169,10 @@ class PorlaClient:
 
     def _complement_crebuild(self, complements_u: JacPoint):
         """Client-side CRebuild over complements (Client.hpp:1040-1453)."""
+        with trace.span("client.crebuild", n=self.num_blocks):
+            return self._complement_crebuild_impl(complements_u)
+
+    def _complement_crebuild_impl(self, complements_u: JacPoint):
         n = self.num_blocks
         ctx = self.ctx
         wt = ctx.wt_scalar(self.write_step)
@@ -220,6 +229,10 @@ class PorlaClient:
     # --------------------------------------------------------------- update
 
     def update(self, block_id: int) -> None:
+        with trace.span("client.update", write_step=self.write_step + 1):
+            self._update_impl(block_id)
+
+    def _update_impl(self, block_id: int) -> None:
         chunks = self.create_data_block(block_id)
         compl = self.complement_points([(0, block_id, self.write_step)])
         commit = self._commit_blocks([chunks])
@@ -275,6 +288,10 @@ class PorlaClient:
     # ---------------------------------------------------------------- audit
 
     def audit(self, seed: bytes | None = None) -> None:
+        with trace.span("client.audit", write_step=self.write_step):
+            self._audit_impl(seed)
+
+    def _audit_impl(self, seed: bytes | None = None) -> None:
         ws = self.write_step
         n = self.num_blocks
         if seed is None:
@@ -376,4 +393,7 @@ class PorlaClient:
         print(f"Amortized cost for each request: "
               f"{stats['amortized_update_s']:.3f}s")
         print(f"Mean audit time: {stats['mean_audit_s']:.3f}s")
+        if trace.enabled():
+            print(trace.report())
+            trace.dump_jsonl()
         return stats

@@ -26,6 +26,7 @@ from porla_tpu.ntt.engine import CrtArray, NttContext
 from porla_tpu.protocol import auditing, compute, hlog, points_io
 from porla_tpu.protocol.hlog import Level, Planes
 from porla_tpu.storage.store import BlockStore
+from porla_tpu.utils import trace
 
 
 class PorlaServer:
@@ -128,6 +129,10 @@ class PorlaServer:
 
     def _crebuild(self) -> None:
         """CRebuild_Cached (Server.hpp:1487-1833): rebuild level C from U."""
+        with trace.span("server.crebuild", n=self.num_blocks):
+            self._crebuild_impl()
+
+    def _crebuild_impl(self) -> None:
         n = self.num_blocks
         ctx = self.ctx
         wt = ctx.wt_scalar(self.write_step)
@@ -164,6 +169,10 @@ class PorlaServer:
 
     def _crebuild_stage(self, s: int, data: CrtArray, macs: JacPoint):
         """One radix-2 stage over (n, C) data and (n,) MAC arrays."""
+        with trace.span("server.crebuild.stage", s=s):
+            return self._crebuild_stage_impl(s, data, macs)
+
+    def _crebuild_stage_impl(self, s: int, data: CrtArray, macs: JacPoint):
         n = self.num_blocks
         m = 1 << s
         m2 = m >> 1
@@ -205,6 +214,10 @@ class PorlaServer:
     # --------------------------------------------------------------- update
 
     def update(self, payload: bytes) -> bytes:
+        with trace.span("server.update", write_step=self.write_step + 1):
+            return self._update_impl(payload)
+
+    def _update_impl(self, payload: bytes) -> bytes:
         index = int.from_bytes(payload[:8], "little")
         data = payload[:BLOCK_SIZE]
         self.store.write_block(index - 1, data)
@@ -232,6 +245,10 @@ class PorlaServer:
 
     def _hadd(self, chunks: list[int], mac: JacPoint) -> int:
         """HAdd (Server.hpp:1388-1477). Returns the folded level."""
+        with trace.span("server.hadd"):
+            return self._hadd_impl(chunks, mac)
+
+    def _hadd_impl(self, chunks: list[int], mac: JacPoint) -> int:
         ctx = self.ctx
         wt = ctx.wt_scalar(self.write_step)
         data = engine.crt_from_ints(chunks, self.mod_q)
@@ -274,6 +291,7 @@ class PorlaServer:
         becomes stage-streamed compute + one aligned batched spill)."""
         if level <= self.config.top_caching_level:
             return
+        trace.count("server.spill_level")
         lv = self.levels[level]
         ops = self.ops
         for is_x, planes in ((True, lv.x), (False, lv.y)):
@@ -336,34 +354,40 @@ class PorlaServer:
     # ---------------------------------------------------------------- audit
 
     def audit(self, seed: bytes) -> bytes:
+        with trace.span("server.audit", write_step=self.write_step):
+            return self._audit_impl(seed)
+
+    def _audit_impl(self, seed: bytes) -> bytes:
         plan = auditing.build_audit_plan(
             seed, self.write_step, self.num_blocks, self.height)
 
         blocks_p, blocks_q, coeffs = [], [], []
         ptc, pta = [], []
-        for s in plan.samples:
-            lv = self.levels[s.level]
-            planes = lv.x if s.is_x else lv.y
-            if planes.data is not None:
-                blocks_p.append(np.asarray(planes.data.p)[s.index])
-                blocks_q.append(np.asarray(planes.data.q)[s.index])
-            else:
-                assert lv.file_backed, (
-                    f"audited level {s.level} empty "
-                    f"(write_step {self.write_step})")
-                arr = self._read_file_block(s.level, s.is_x, s.index)
-                blocks_p.append(arr.p)
-                blocks_q.append(arr.q)
-            coeffs.append(s.coeff)
-            for bag, name in ((ptc, "c"), (pta, "a")):
-                pts = planes.points[name]
-                bag.append((np.asarray(pts.x)[s.index],
-                            np.asarray(pts.y)[s.index],
-                            np.asarray(pts.z)[s.index]))
+        with trace.span("server.audit.gather", samples=len(plan.samples)):
+            for s in plan.samples:
+                lv = self.levels[s.level]
+                planes = lv.x if s.is_x else lv.y
+                if planes.data is not None:
+                    blocks_p.append(np.asarray(planes.data.p)[s.index])
+                    blocks_q.append(np.asarray(planes.data.q)[s.index])
+                else:
+                    assert lv.file_backed, (
+                        f"audited level {s.level} empty "
+                        f"(write_step {self.write_step})")
+                    arr = self._read_file_block(s.level, s.is_x, s.index)
+                    blocks_p.append(arr.p)
+                    blocks_q.append(arr.q)
+                coeffs.append(s.coeff)
+                for bag, name in ((ptc, "c"), (pta, "a")):
+                    pts = planes.points[name]
+                    bag.append((np.asarray(pts.x)[s.index],
+                                np.asarray(pts.y)[s.index],
+                                np.asarray(pts.z)[s.index]))
 
         blocks = CrtArray(np.stack(blocks_p), np.stack(blocks_q))
-        B = hlog.host_crt(
-            compute.linear_combine_crt(self.mod_q, blocks, coeffs))
+        with trace.span("server.audit.combine"):
+            B = hlog.host_crt(
+                compute.linear_combine_crt(self.mod_q, blocks, coeffs))
 
         def stack_pts(bag):
             return JacPoint(np.stack([b[0] for b in bag]),
@@ -372,10 +396,11 @@ class PorlaServer:
 
         coeff_limbs = limbs.ints_to_limbs(coeffs)
         ops = self.ops
-        combined_mac_j = ck.msm(
-            ops, ck.to_device(stack_pts(ptc)), coeff_limbs, nbits=32)
-        combined_align_j = ck.msm(
-            ops, ck.to_device(stack_pts(pta)), coeff_limbs, nbits=32)
+        with trace.span("server.audit.msm", n=len(coeffs)):
+            combined_mac_j = ck.msm(
+                ops, ck.to_device(stack_pts(ptc)), coeff_limbs, nbits=32)
+            combined_align_j = ck.msm(
+                ops, ck.to_device(stack_pts(pta)), coeff_limbs, nbits=32)
 
         # align_MAC(B, combined_align); commitment over the reduced B
         B1 = CrtArray(B.p[None], B.q[None])
@@ -397,8 +422,9 @@ class PorlaServer:
             for _ in range(NUM_CHUNKS):
                 b_vec.append(v)
                 v = (v * v) % self.mod_q.n
-            proof = ipa.prove(a_vec, b_vec, ck.to_device(self.generators),
-                              self.u)
+            with trace.span("server.audit.prove"):
+                proof = ipa.prove(a_vec, b_vec,
+                                  ck.to_device(self.generators), self.u)
             return (ecc.secp_serialize_compressed(commitment)
                     + ecc.secp_serialize_compressed(combined_mac)
                     + ecc.secp_serialize_compressed(combined_align)

@@ -9,6 +9,8 @@ deployments.
 
 from __future__ import annotations
 
+from porla_tpu.utils import trace
+
 
 class InProcTransport:
     """Directly couples a client to a server instance (single process)."""
@@ -17,7 +19,11 @@ class InProcTransport:
         self.server = server
 
     def __call__(self, msg: bytes) -> bytes:
-        return self.server.handle(bytes(msg))
+        trace.count("transport.round_trips")
+        trace.count("transport.bytes_sent", len(msg))
+        reply = self.server.handle(bytes(msg))
+        trace.count("transport.bytes_received", len(reply))
+        return reply
 
 
 class ZmqClientTransport:
@@ -28,8 +34,12 @@ class ZmqClientTransport:
         self.sock.connect(endpoint)
 
     def __call__(self, msg: bytes) -> bytes:
+        trace.count("transport.round_trips")
+        trace.count("transport.bytes_sent", len(msg))
         self.sock.send(msg)
-        return self.sock.recv()
+        reply = self.sock.recv()
+        trace.count("transport.bytes_received", len(reply))
+        return reply
 
 
 def serve_zmq(server, bind: str = "tcp://*:8888", forever: bool = True):
