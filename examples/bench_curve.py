@@ -83,6 +83,18 @@ def main():
             fetch(out.x)
         run("pallas", run_pl)
 
+    if "fb" in which:
+        # commitment-shaped workload: 128 fixed bases cycling over lanes
+        t0 = time.perf_counter()
+        tbl = pallas_curve.fb_table_for(
+            ops, ops.from_affine(np, [base[i % 8] for i in range(128)]))
+        print(f"      fb: table build {time.perf_counter()-t0:.1f}s")
+
+        def run_fb():
+            out = pallas_curve.fb_scalar_mul(tbl, sc)
+            fetch(out.x)
+        run("fb", run_fb)
+
     if "butterfly" in which:
         def run_bf():
             hi, lo = pallas_curve.point_butterfly(ops, p, p, sc,

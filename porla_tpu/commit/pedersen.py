@@ -92,10 +92,12 @@ def commit_blocks(generators: JacPoint, scalars, nbits: int = 256,
             scalars = np.concatenate(
                 [scalars, np.zeros((bp - B,) + scalars.shape[1:],
                                    np.uint32)], 0)
-        gens = JacPoint(*(np.tile(np.asarray(c), (bp, 1))
-                          for c in generators))
-        parts = pallas_curve.scalar_mul(
-            ops, gens, scalars.reshape(bp * ng, -1), nbits)
+        gens = JacPoint(np.asarray(generators.x)[:ng],
+                        np.asarray(generators.y)[:ng],
+                        np.asarray(generators.z)[:ng])
+        tbl = pallas_curve.fb_table_for(ops, gens, nbits)
+        parts = pallas_curve.fb_scalar_mul(tbl,
+                                           scalars.reshape(bp * ng, -1))
         out = JacPoint(*_reduce_commit_fn(ops, ng)(parts.x, parts.y,
                                                    parts.z))
         return JacPoint(out.x[:B], out.y[:B], out.z[:B])

@@ -235,6 +235,34 @@ def _scalar_mul_body(p, s, tabs, nbits):
     return acc
 
 
+# --- fixed-base path --------------------------------------------------------
+#
+# The protocol's commitment MSMs (Pedersen generators, KZG SRS — reference
+# Client.hpp:374-421 / Server.hpp:329-361 / main.go:103-116) always use the
+# SAME bases. With per-window tables T_w[d] = d * 16^w * G precomputed, a
+# scalar-mul is nwin table-lookup+adds: no doublings and no per-call table
+# build (~3x fewer field muls than the double-and-add kernel). Tables are
+# built once per (bases, nbits) on the host golden model and streamed from
+# HBM one window per grid step; the output block accumulates in VMEM.
+
+def _fb_kernel(tx, ty, tz, dig, mN__ref, mN_ref, nd_ref, rd_ref,
+               ox, oy, oz):
+    w = pl.program_id(1)
+    tabs = (mN__ref[:], mN_ref[:], nd_ref[:], rd_ref[:])
+    rd = tabs[3]
+    tbl = (tx[0], ty[0], tz[0])            # (16, ND, bt) each
+    digit = dig[0]                         # (1, bt)
+    pt = _lookup(tbl, digit)
+    zero = pt[0] & np.uint32(0)
+
+    @pl.when(w == 0)
+    def _init():
+        ox[:], oy[:], oz[:] = rd + zero, rd + zero, zero
+
+    acc = (ox[:], oy[:], oz[:])
+    ox[:], oy[:], oz[:] = _p_add(acc, pt, tabs)
+
+
 # --- kernels ----------------------------------------------------------------
 
 def _smul_kernel(nbits, x_ref, y_ref, z_ref, s_ref,
@@ -270,7 +298,7 @@ def _curve_tables(fp: mont.Modulus):
 
 
 def _table_specs():
-    fixed = lambda b: (0, 0)  # noqa: E731
+    fixed = lambda *_: (0, 0)  # noqa: E731
     return [
         pl.BlockSpec((ND, ND), fixed, memory_space=pltpu.VMEM),
         pl.BlockSpec((2 * ND, ND), fixed, memory_space=pltpu.VMEM),
@@ -309,6 +337,140 @@ def _butterfly_call(nbits: int, B: int, bt: int, interpret: bool):
         out_shape=(out,) * 6,
         interpret=interpret,
     ))
+
+
+@lru_cache(maxsize=None)
+def _fb_call(B: int, bt: int, nwin: int, interpret: bool):
+    spec = pl.BlockSpec((ND, bt), lambda b, w: (0, b),
+                        memory_space=pltpu.VMEM)
+    tspec = pl.BlockSpec((1, 16, ND, bt), lambda b, w: (w, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    dspec = pl.BlockSpec((1, 1, bt), lambda b, w: (w, 0, b),
+                         memory_space=pltpu.VMEM)
+    out = jax.ShapeDtypeStruct((ND, B), jnp.uint32)
+    return jax.jit(pl.pallas_call(
+        _fb_kernel,
+        grid=(B // bt, nwin),
+        in_specs=[tspec] * 3 + [dspec] + _table_specs(),
+        out_specs=(spec,) * 3,
+        out_shape=(out,) * 3,
+        interpret=interpret,
+    ))
+
+
+class FbTable:
+    """Per-window lookup tables for a fixed set of bases, tiled to the
+    kernel lane width: coords (nwin, 16, 32, bt) u32 digit tiles.
+    Device placement is cached — the ~100MB of tables must ride the
+    host->device tunnel once, not per commit call."""
+
+    def __init__(self, ops: CurveOps, coords, nbits: int, ng: int, bt: int):
+        self.ops = ops
+        self.tx, self.ty, self.tz = coords
+        self.nbits = nbits
+        self.ng = ng
+        self.bt = bt
+        self._dev = None
+
+    def device_coords(self):
+        if self._dev is None:
+            self._dev = tuple(jnp.asarray(c)
+                              for c in (self.tx, self.ty, self.tz))
+        return self._dev
+
+
+def build_fb_table(ops: CurveOps, gens_affine, nbits: int = 256,
+                   bt: int = 256) -> FbTable:
+    """Precompute T_w[d] = d * 16^w * G_i on the host golden model for
+    every base (affine (x, y) int pairs or INF), then pack Montgomery
+    digit tiles with the base pattern tiled across bt lanes."""
+    from porla_tpu.golden import ecc
+    cur = ops.curve
+    ng = len(gens_affine)
+    assert bt % ng == 0, "base pattern must tile the lane width"
+    nwin = nbits // 4
+    pts = []                                  # (w, d, g) order
+    bases = list(gens_affine)
+    for w in range(nwin):
+        row = [ecc.INF] * (16 * ng)
+        for g in range(ng):
+            e = ecc.INF
+            for d in range(1, 16):
+                e = ecc.add(cur, e, bases[g])
+                row[d * ng + g] = e
+        pts.append(row)
+        if w != nwin - 1:
+            for g in range(ng):
+                b = bases[g]
+                for _ in range(4):
+                    b = ecc.add(cur, b, b)
+                bases[g] = b
+    flat = [p for row in pts for p in row]
+    jp = ops.from_affine(np, flat)            # (nwin*16*ng, 16) limbs
+
+    def pack(c):
+        d = np.asarray(mxu.digits_from_limbs(np, np.asarray(c)))
+        d = d.reshape(nwin, 16, ng, ND)
+        d = np.moveaxis(d, 3, 2)              # (nwin, 16, ND, ng)
+        reps = max(1, bt // ng)
+        d = np.tile(d, (1, 1, 1, reps))[..., :bt]
+        return np.ascontiguousarray(d)
+
+    return FbTable(ops, (pack(jp.x), pack(jp.y), pack(jp.z)),
+                   nbits, ng, bt)
+
+
+_FB_CACHE: dict = {}
+
+
+def fb_table_for(ops: CurveOps, generators: JacPoint, nbits: int = 256,
+                 bt: int = 256) -> FbTable:
+    """Table for a JacPoint batch of bases, cached by coordinate digest
+    (the Pedersen generators / KZG SRS never change within a run)."""
+    import hashlib
+    gx = np.asarray(generators.x)
+    key = (hashlib.sha256(
+        gx.tobytes() + np.asarray(generators.y).tobytes()
+        + np.asarray(generators.z).tobytes()).hexdigest(), nbits, bt,
+        ops.fp.n)
+    tbl = _FB_CACHE.get(key)
+    if tbl is None:
+        affine = ops.to_affine(
+            JacPoint(gx, np.asarray(generators.y),
+                     np.asarray(generators.z)))
+        tbl = _FB_CACHE[key] = build_fb_table(ops, affine, nbits, bt)
+    return tbl
+
+
+def _scalar_nibbles(scalars, B: int, nbits: int):
+    """(B0, 16)-limb scalars -> (nwin, 1, B) LSB-first 4-bit windows."""
+    d = np.asarray(mxu.digits_from_limbs(np, _pad_to(scalars, B)))  # (B, 32)
+    nwin = nbits // 4
+    out = np.empty((nwin, 1, B), np.uint32)
+    for w in range(nwin):
+        byte = d[:, w // 2]
+        out[w, 0] = (byte >> 4) & 0xF if w % 2 else byte & 0xF
+    return jnp.asarray(out)
+
+
+def fb_scalar_mul(table: FbTable, scalars, interpret: bool | None = None,
+                  keep_pad: bool = False) -> JacPoint:
+    """scalars[i] * base[i % ng] for (B, 16)-limb standard-form scalars
+    (< 2^nbits), lanes cycling through the table's base pattern."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    scalars = np.asarray(scalars, dtype=np.uint32)
+    B0 = scalars.shape[0]
+    bt = table.bt
+    B = max(bt, -(-B0 // bt) * bt)
+    fn = _fb_call(B, bt, table.nbits // 4, interpret)
+    tabs = _curve_tables(table.ops.fp)
+    nib = _scalar_nibbles(scalars, B, table.nbits)
+    tx, ty, tz = table.device_coords()
+    x, y, z = fn(tx, ty, tz, nib, *(jnp.asarray(t) for t in tabs))
+    if keep_pad:
+        return JacPoint(_limbs_T(x), _limbs_T(y), _limbs_T(z))
+    return JacPoint(_limbs_T(x)[:B0], _limbs_T(y)[:B0], _limbs_T(z)[:B0])
 
 
 def _digits_T(a) -> "jnp.ndarray":

@@ -47,6 +47,23 @@ def test_scalar_mul_small_window_all_curves():
             assert g == ecc.mul(cur, pt, s)
 
 
+def test_fixed_base_scalar_mul():
+    # the commitment fast path: per-window tables, no doublings. ng=4
+    # bases cycling across lanes; scalars cover zero / one / wrap edge
+    # cases. nbits=32 keeps the interpret compile small (8 window adds).
+    ops = secp256k1()
+    cur = ops.curve
+    gens = _rand_points(ops, 3) + [cur.g]
+    tbl = pallas_curve.build_fb_table(ops, gens, nbits=32, bt=128)
+    k = 9
+    sc = [rng.getrandbits(32) for _ in range(k - 3)] + [0, 1, 0xFFFFFFFF]
+    out = pallas_curve.fb_scalar_mul(tbl, L.ints_to_limbs(sc),
+                                     interpret=True)
+    got = ops.to_affine(out)
+    for i, (s, g) in enumerate(zip(sc, got)):
+        assert g == ecc.mul(cur, gens[i % 4], s), f"lane {i}"
+
+
 @slow
 def test_scalar_mul_full_256bit():
     ops = secp256k1()
