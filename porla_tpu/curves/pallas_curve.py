@@ -180,6 +180,47 @@ def _p_add(p1, p2, tabs):
     return out
 
 
+def _p_madd(p1, p2, tabs):
+    """Mixed add: p2 is affine-or-infinity (Z2 in {0, R}), so mont-muls
+    by Z2/Z2^2/Z2^3 collapse to identities — 11 field muls instead of 16.
+    Same branchless case handling as _p_add."""
+    nd, rd = tabs[2], tabs[3]
+    X1, Y1, Z1 = p1
+    X2, Y2, Z2 = p2
+    Z1Z1 = _f_mul(Z1, Z1, tabs)
+    A2 = _f_mul(Y2, Z1, tabs)
+    U1, S1 = X1, Y1                       # * z2^k with z2 = 1
+    U2 = _f_mul(X2, Z1Z1, tabs)
+    S2 = _f_mul(A2, Z1Z1, tabs)
+    H = _sub_mod(U2, U1, nd)
+    R = _sub_mod(S2, S1, nd)
+    HH = _f_mul(H, H, tabs)
+    RR = _f_mul(R, R, tabs)
+    HHH = _f_mul(H, HH, tabs)
+    V = _f_mul(U1, HH, tabs)
+    Z3 = _f_mul(Z1, H, tabs)
+    X3 = _sub_mod(_sub_mod(RR, HHH, nd), _add_mod(V, V, nd), nd)
+    Y3 = _sub_mod(_f_mul(R, _sub_mod(V, X3, nd), tabs),
+                  _f_mul(S1, HHH, tabs), nd)
+    raw = (X3, Y3, Z3)
+
+    p1_inf = _f_is_zero(Z1)
+    p2_inf = _f_is_zero(Z2)
+    h_zero = _f_eq(U1, U2)
+    r_zero = _f_eq(S1, S2)
+    both = ~p1_inf & ~p2_inf
+    dbl_case = both & h_zero & r_zero
+    inf_case = both & h_zero & ~r_zero
+
+    zero = X1 & np.uint32(0)
+    inf_pt = (rd + zero, rd + zero, zero)
+    out = _sel_pt(dbl_case, _p_dbl(p1, tabs), raw)
+    out = _sel_pt(inf_case, inf_pt, out)
+    out = _sel_pt(p2_inf, p1, out)
+    out = _sel_pt(p1_inf, p2, out)
+    return out
+
+
 def _build_table(p, tabs):
     """T[d] = d*P for d in 0..15, stacked (16, 32, B) per coordinate."""
     rd = tabs[3]
@@ -194,7 +235,9 @@ def _build_table(p, tabs):
 
 
 def _lookup(tbl, digit):
-    """Branchless 16-way select; digit (1, B)."""
+    """Branchless 16-way select; digit (1, B). (A variant broadcasting
+    the digit to full tile shape first measured 2x SLOWER in the smul
+    kernel — Mosaic handles the (1, B) mask broadcast fine.)"""
     out = []
     for c in range(3):
         acc = jnp.zeros_like(tbl[c][0])
@@ -245,25 +288,40 @@ def _scalar_mul_body(p, s, tabs, nbits):
 # built once per (bases, nbits) on the host golden model and streamed from
 # HBM one window per grid step; the output block accumulates in VMEM.
 
-def _fb_kernel(tx, ty, tz, dig, mN__ref, mN_ref, nd_ref, rd_ref,
+def _fb_kernel(W, tx, ty, tz, dig, mN__ref, mN_ref, nd_ref, rd_ref,
                ox, oy, oz):
-    w = pl.program_id(1)
+    """W windows per grid step: per-step scheduling overhead (~0.1 ms,
+    measured dominant over the 11-mul adds) is amortized W-fold."""
+    g = pl.program_id(1)
     tabs = (mN__ref[:], mN_ref[:], nd_ref[:], rd_ref[:])
     rd = tabs[3]
-    tbl = (tx[0], ty[0], tz[0])            # (16, ND, bt) each
-    digit = dig[0]                         # (1, bt)
-    pt = _lookup(tbl, digit)
-    zero = pt[0] & np.uint32(0)
+    zero = ox[:] & np.uint32(0)
 
-    @pl.when(w == 0)
+    @pl.when(g == 0)
     def _init():
         ox[:], oy[:], oz[:] = rd + zero, rd + zero, zero
 
     acc = (ox[:], oy[:], oz[:])
-    ox[:], oy[:], oz[:] = _p_add(acc, pt, tabs)
+    for k in range(W):
+        tbl = (tx[0, 16 * k:16 * (k + 1)], ty[0, 16 * k:16 * (k + 1)],
+               tz[0, 16 * k:16 * (k + 1)])          # (16, ND, bt) each
+        digit = dig[0, k:k + 1]                     # (1, bt)
+        # table entries are affine (z in {0, R}) -> mixed add, 11 muls
+        acc = _p_madd(acc, _lookup(tbl, digit), tabs)
+    ox[:], oy[:], oz[:] = acc
 
 
 # --- kernels ----------------------------------------------------------------
+#
+# Note (measured, one v5e): restructuring the fixed-base sum as a
+# log-depth tree of wide batched adds (all 64 window lookups at once,
+# then 6+ rounds of (32, 512)-tile Jacobian adds) is bit-exact but NOT
+# faster than the serial per-window chain — both converge to ~0.3-0.5 us
+# per lane-add, i.e. the field-mul primitive (digit conv + Toeplitz REDC
+# dots + carry resolve) is the wall, not scheduling. Streaming-DMA and
+# packed-DMA variants measured the same or worse. Hence the kernels below
+# stay window-serial and the optimization lever is fewer field muls per
+# point op (mixed adds against the affine table entries).
 
 def _smul_kernel(nbits, x_ref, y_ref, z_ref, s_ref,
                  mN__ref, mN_ref, nd_ref, rd_ref, ox, oy, oz):
@@ -339,18 +397,23 @@ def _butterfly_call(nbits: int, B: int, bt: int, interpret: bool):
     ))
 
 
+_FB_W = 4  # windows per grid step (VMEM: 2 x W x 1.5 MB table blocks)
+
+
 @lru_cache(maxsize=None)
 def _fb_call(B: int, bt: int, nwin: int, interpret: bool):
-    spec = pl.BlockSpec((ND, bt), lambda b, w: (0, b),
+    from functools import partial
+    W = _FB_W if nwin % _FB_W == 0 else 1
+    spec = pl.BlockSpec((ND, bt), lambda b, g: (0, b),
                         memory_space=pltpu.VMEM)
-    tspec = pl.BlockSpec((1, 16, ND, bt), lambda b, w: (w, 0, 0, 0),
+    tspec = pl.BlockSpec((1, 16 * W, ND, bt), lambda b, g: (g, 0, 0, 0),
                          memory_space=pltpu.VMEM)
-    dspec = pl.BlockSpec((1, 1, bt), lambda b, w: (w, 0, b),
+    dspec = pl.BlockSpec((1, W, bt), lambda b, g: (g, 0, b),
                          memory_space=pltpu.VMEM)
     out = jax.ShapeDtypeStruct((ND, B), jnp.uint32)
-    return jax.jit(pl.pallas_call(
-        _fb_kernel,
-        grid=(B // bt, nwin),
+    return W, jax.jit(pl.pallas_call(
+        partial(_fb_kernel, W),
+        grid=(B // bt, nwin // W),
         in_specs=[tspec] * 3 + [dspec] + _table_specs(),
         out_specs=(spec,) * 3,
         out_shape=(out,) * 3,
@@ -359,9 +422,9 @@ def _fb_call(B: int, bt: int, nwin: int, interpret: bool):
 
 
 class FbTable:
-    """Per-window lookup tables for a fixed set of bases, tiled to the
-    kernel lane width: coords (nwin, 16, 32, bt) u32 digit tiles.
-    Device placement is cached — the ~100MB of tables must ride the
+    """Per-window lookup tables for a fixed set of bases: coords
+    (nwin, 16, 32, ng) u32 digit tiles (raw base pattern). Device
+    placement is cached — the ~100MB of tables must ride the
     host->device tunnel once, not per commit call."""
 
     def __init__(self, ops: CurveOps, coords, nbits: int, ng: int, bt: int):
@@ -371,12 +434,30 @@ class FbTable:
         self.ng = ng
         self.bt = bt
         self._dev = None
+        self._dev_tiled: dict | None = None
 
     def device_coords(self):
+        """Raw (nwin, 16, ND, ng) on device (tree path)."""
         if self._dev is None:
             self._dev = tuple(jnp.asarray(c)
                               for c in (self.tx, self.ty, self.tz))
         return self._dev
+
+    def device_coords_tiled(self, W: int = 1):
+        """Lane-width-tiled, W-window-grouped (nwin/W, 16*W, ND, bt)
+        tables on device (window-serial kernel)."""
+        key = W
+        if self._dev_tiled is None:
+            self._dev_tiled = {}
+        if key not in self._dev_tiled:
+            reps = self.bt // self.ng
+            nwin = self.nbits // 4
+            self._dev_tiled[key] = tuple(
+                jnp.asarray(np.ascontiguousarray(
+                    np.tile(c, (1, 1, 1, reps))
+                    .reshape(nwin // W, 16 * W, ND, self.bt)))
+                for c in (self.tx, self.ty, self.tz))
+        return self._dev_tiled[key]
 
 
 def build_fb_table(ops: CurveOps, gens_affine, nbits: int = 256,
@@ -411,10 +492,7 @@ def build_fb_table(ops: CurveOps, gens_affine, nbits: int = 256,
     def pack(c):
         d = np.asarray(mxu.digits_from_limbs(np, np.asarray(c)))
         d = d.reshape(nwin, 16, ng, ND)
-        d = np.moveaxis(d, 3, 2)              # (nwin, 16, ND, ng)
-        reps = max(1, bt // ng)
-        d = np.tile(d, (1, 1, 1, reps))[..., :bt]
-        return np.ascontiguousarray(d)
+        return np.ascontiguousarray(np.moveaxis(d, 3, 2))  # (…, ND, ng)
 
     return FbTable(ops, (pack(jp.x), pack(jp.y), pack(jp.z)),
                    nbits, ng, bt)
@@ -463,10 +541,12 @@ def fb_scalar_mul(table: FbTable, scalars, interpret: bool | None = None,
     B0 = scalars.shape[0]
     bt = table.bt
     B = max(bt, -(-B0 // bt) * bt)
-    fn = _fb_call(B, bt, table.nbits // 4, interpret)
+    nwin = table.nbits // 4
+    W, fn = _fb_call(B, bt, nwin, interpret)
     tabs = _curve_tables(table.ops.fp)
-    nib = _scalar_nibbles(scalars, B, table.nbits)
-    tx, ty, tz = table.device_coords()
+    nib = _scalar_nibbles(scalars, B, table.nbits).reshape(
+        nwin // W, W, B)
+    tx, ty, tz = table.device_coords_tiled(W)
     x, y, z = fn(tx, ty, tz, nib, *(jnp.asarray(t) for t in tabs))
     if keep_pad:
         return JacPoint(_limbs_T(x), _limbs_T(y), _limbs_T(z))
