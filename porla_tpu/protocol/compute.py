@@ -75,6 +75,43 @@ def scale_crt(mod_q, a: CrtArray, tw: Twiddles) -> CrtArray:
     return CrtArray(p, q)
 
 
+# --- full-codeword data encode (CRebuild data plane) -----------------------
+
+@lru_cache(maxsize=None)
+def _stage_mats(n: int, scheme: str, hardened: bool, lane: str):
+    """Device-resident Toeplitz twiddle stacks for all stages of one CRT
+    lane (built once per context shape; ~n*64*32 bf16 total)."""
+    from porla_tpu.ntt import mxu_cg
+    from porla_tpu.ntt.engine import NttContext
+    ctx = NttContext(n, scheme, hardened=hardened)
+    mod = _MOD_P if lane == "p" else ctx.mod_q
+    return [jnp.asarray(m) for m in mxu_cg.stage_mats_list(ctx, mod)]
+
+
+def encode_crt(mod_q, ctx, arr: CrtArray) -> CrtArray:
+    """All CRebuild butterfly stages s = 1..height-1 over an (n, C, 16)
+    CRT array (reference stage loop, Server.hpp:1548-1687).
+
+    On the TPU backend this runs the fused constant-geometry Pallas
+    pipeline in the byte-digit domain (bit-exact twin of
+    engine.encode_stages — tests/test_pallas_stage.py); elsewhere the
+    XLA limb path."""
+    from porla_tpu.curves.pallas_curve import use_pallas
+    if use_pallas():
+        from porla_tpu.ntt import mxu, pallas_stage
+        outs = []
+        for lane, mod in (("p", _MOD_P), ("q", mod_q)):
+            mats = _stage_mats(ctx.n, ctx.scheme, ctx.hardened, lane)
+            d = mxu.digits_from_limbs(np, np.asarray(getattr(arr, lane)))
+            enc = pallas_stage.encode_stages_pallas(ctx, mod, d, mats)
+            outs.append(mxu.limbs_from_digits(jnp, enc))
+        return CrtArray(*outs)
+    from porla_tpu.ntt import engine
+    return engine.encode_stages(jnp, ctx,
+                                CrtArray(jnp.asarray(arr.p),
+                                         jnp.asarray(arr.q)))
+
+
 # --- MAC-plane (point) butterfly -------------------------------------------
 
 @lru_cache(maxsize=None)

@@ -145,13 +145,17 @@ class PorlaServer:
         mc_y = hlog.host_point(compute.point_scale(self.mac_u, wt_rep,
                                                    ops=self.ops))
 
-        # butterfly stages on data + MAC-commitment planes; alignments are
-        # reset to infinity (no align_MAC in the cached path)
-        dx, dy = data_x, data_y
+        # data planes: all butterfly stages in one fused encode (the
+        # constant-geometry Pallas pipeline on TPU); MAC-commitment
+        # planes: per-stage point butterflies. Alignments are reset to
+        # infinity (no align_MAC in the cached path).
+        with trace.span("server.crebuild.data"):
+            dx = hlog.host_crt(compute.encode_crt(self.mod_q, ctx, data_x))
+            dy = hlog.host_crt(compute.encode_crt(self.mod_q, ctx, data_y))
         cx, cy = mc_x, mc_y
         for s in range(1, self.height):
-            dx, cx = self._crebuild_stage(s, dx, cx)
-            dy, cy = self._crebuild_stage(s, dy, cy)
+            cx = self._crebuild_mac_stage(s, cx)
+            cy = self._crebuild_mac_stage(s, cy)
 
         top = self.levels[self.height - 1]
         top.x = Planes(data=dx,
@@ -167,12 +171,12 @@ class PorlaServer:
             self.levels[i].file_backed = False
         self._spill_level(self.height - 1)
 
-    def _crebuild_stage(self, s: int, data: CrtArray, macs: JacPoint):
-        """One radix-2 stage over (n, C) data and (n,) MAC arrays."""
-        with trace.span("server.crebuild.stage", s=s):
-            return self._crebuild_stage_impl(s, data, macs)
+    def _crebuild_mac_stage(self, s: int, macs: JacPoint) -> JacPoint:
+        """One radix-2 stage over the (n,) MAC-commitment plane."""
+        with trace.span("server.crebuild.mac_stage", s=s):
+            return self._crebuild_mac_stage_impl(s, macs)
 
-    def _crebuild_stage_impl(self, s: int, data: CrtArray, macs: JacPoint):
+    def _crebuild_mac_stage_impl(self, s: int, macs: JacPoint) -> JacPoint:
         n = self.num_blocks
         m = 1 << s
         m2 = m >> 1
@@ -193,23 +197,14 @@ class PorlaServer:
                             np.tile(tw.mont_p, (n // m, 1)),
                             np.tile(tw.mont_q, (n // m, 1)))
 
-        dp_u, dp_t = split(np.asarray(data.p))
-        dq_u, dq_t = split(np.asarray(data.q))
-        hi, lo = compute.data_butterfly(
-            self.mod_q, CrtArray(dp_u, dq_u), CrtArray(dp_t, dq_t), tw_tiled)
-        hi, lo = hlog.host_crt(hi), hlog.host_crt(lo)
-        out_data = CrtArray(join(hi.p, lo.p, np.asarray(data.p)),
-                            join(hi.q, lo.q, np.asarray(data.q)))
-
         mx_u = JacPoint(*[split(np.asarray(c))[0] for c in macs])
         mx_t = JacPoint(*[split(np.asarray(c))[1] for c in macs])
         his, los = compute.point_butterfly([mx_u], [mx_t], tw_tiled,
                                            ops=self.ops)
         hi_p, lo_p = hlog.host_point(his[0]), hlog.host_point(los[0])
-        out_macs = JacPoint(join(hi_p.x, lo_p.x, np.asarray(macs.x)),
-                            join(hi_p.y, lo_p.y, np.asarray(macs.y)),
-                            join(hi_p.z, lo_p.z, np.asarray(macs.z)))
-        return out_data, out_macs
+        return JacPoint(join(hi_p.x, lo_p.x, np.asarray(macs.x)),
+                        join(hi_p.y, lo_p.y, np.asarray(macs.y)),
+                        join(hi_p.z, lo_p.z, np.asarray(macs.z)))
 
     # --------------------------------------------------------------- update
 
