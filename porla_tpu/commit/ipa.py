@@ -36,12 +36,61 @@ _INIT_STR = b"hash of P, c, etc. all that jazz"
 
 def _msm_gens(gens: JacPoint, scalar_map: dict[int, int]):
     """MSM over the fixed generator set with scalars at given positions
-    (zeros elsewhere keep the kernel shape fixed). Returns affine point."""
+    (zeros elsewhere keep the kernel shape fixed). Returns affine point.
+
+    The bases never change within a run, so on TPU this rides the
+    fixed-base windowed-table kernel (no doublings, tables prebuilt in
+    HBM) instead of the variable-base 256-bit scalar-mul path."""
+    from porla_tpu.utils import trace
     sc = [0] * NUM_CHUNKS
     for pos, v in scalar_map.items():
         sc[pos] = v % Q
-    out = kernels.msm(secp256k1(), gens, limbs.ints_to_limbs(sc), nbits=256)
-    return secp256k1().to_affine(kernels.to_host(out))[0]
+    ops = secp256k1()
+    from porla_tpu.curves import pallas_curve
+    with trace.span("ipa.msm"):
+        if pallas_curve.use_pallas():
+            g = kernels.to_host(gens)
+            g128 = JacPoint(g.x[:NUM_CHUNKS], g.y[:NUM_CHUNKS],
+                            g.z[:NUM_CHUNKS])
+            tbl = pallas_curve.fb_table_for(ops, g128)
+            parts = pallas_curve.fb_scalar_mul(
+                tbl, limbs.ints_to_limbs(sc), keep_pad=True)
+            out = kernels.tree_sum(ops, parts)
+        else:
+            out = kernels.msm(ops, gens, limbs.ints_to_limbs(sc),
+                              nbits=256)
+        return ops.to_affine(kernels.to_host(out))[0]
+
+
+def _msm_gens2(gens: JacPoint, scal_l: dict[int, int],
+               scal_r: dict[int, int]):
+    """Two fixed-base MSMs over the generator set as one device call
+    (2*NUM_CHUNKS lanes), reduced per half. Returns two affine points."""
+    from porla_tpu.curves import pallas_curve
+    if not pallas_curve.use_pallas():
+        return _msm_gens(gens, scal_l), _msm_gens(gens, scal_r)
+    from porla_tpu.utils import trace
+    sc = [0] * (2 * NUM_CHUNKS)
+    for pos, v in scal_l.items():
+        sc[pos] = v % Q
+    for pos, v in scal_r.items():
+        sc[NUM_CHUNKS + pos] = v % Q
+    ops = secp256k1()
+    with trace.span("ipa.msm2"):
+        g = kernels.to_host(gens)
+        g128 = JacPoint(g.x[:NUM_CHUNKS], g.y[:NUM_CHUNKS], g.z[:NUM_CHUNKS])
+        tbl = pallas_curve.fb_table_for(ops, g128)
+        parts = pallas_curve.fb_scalar_mul(
+            tbl, limbs.ints_to_limbs(sc), keep_pad=True)
+        hl = kernels.tree_sum(
+            ops, JacPoint(parts.x[:NUM_CHUNKS], parts.y[:NUM_CHUNKS],
+                          parts.z[:NUM_CHUNKS]))
+        hr = kernels.tree_sum(
+            ops, JacPoint(parts.x[NUM_CHUNKS:], parts.y[NUM_CHUNKS:],
+                          parts.z[NUM_CHUNKS:]))
+        out = kernels.to_host(kernels.concat([hl, hr]))
+        aff = ops.to_affine(out)
+        return aff[0], aff[1]
 
 
 def _hash_mod_q(b32: bytes) -> int:
@@ -78,27 +127,31 @@ def prove(a: list[int], b: list[int], gens: JacPoint, u) -> bytes:
         cL = sum(a[i] * b[half + i] for i in range(half)) % Q
         cR = sum(a[half + i] * b[i] for i in range(half)) % Q
 
-        # L: scalars on odd half-blocks (Server.hpp:2337-2349)
-        scal = {}
+        # L: scalars on odd half-blocks (Server.hpp:2337-2349); R: even
+        # half-blocks (Server.hpp:2387-2399). R's scalars depend only on
+        # x/inv_x — not on L's transcript bytes — so both MSMs run as ONE
+        # batched device call per round.
+        scal_l = {}
         for i in range(k):
             pos = (i << 1) + 1
             for qi, j in enumerate(range(pos * half, (pos + 1) * half)):
-                scal[j] = (a[qi] * x_values[j]) % Q
+                scal_l[j] = (a[qi] * x_values[j]) % Q
                 x_values[j] = (x_values[j] * x) % Q
-        L = ecc.add(cv, _msm_gens(gens, scal), ecc.mul(cv, u, cL))
+        scal_r = {}
+        for i in range(k):
+            pos = i << 1
+            for qi, j in enumerate(range(pos * half, (pos + 1) * half)):
+                scal_r[j] = (a[half + qi] * x_values[j]) % Q
+                x_values[j] = (x_values[j] * inv_x) % Q
+        msm_l, msm_r = _msm_gens2(gens, scal_l, scal_r)
+
+        L = ecc.add(cv, msm_l, ecc.mul(cv, u, cL))
         ser = ecc.secp_serialize_compressed(L)
         proof += ser
         sha.write(ser)
         random_str = sha.finalize()
 
-        # R: scalars on even half-blocks (Server.hpp:2387-2399)
-        scal = {}
-        for i in range(k):
-            pos = i << 1
-            for qi, j in enumerate(range(pos * half, (pos + 1) * half)):
-                scal[j] = (a[half + qi] * x_values[j]) % Q
-                x_values[j] = (x_values[j] * inv_x) % Q
-        R = ecc.add(cv, _msm_gens(gens, scal), ecc.mul(cv, u, cR))
+        R = ecc.add(cv, msm_r, ecc.mul(cv, u, cR))
         ser = ecc.secp_serialize_compressed(R)
         proof += ser
         sha.write(ser)

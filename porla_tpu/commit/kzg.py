@@ -76,12 +76,20 @@ class KzgSrs:
 
 def commit_msm(srs: KzgSrs, coeffs: list[int]):
     """Server-side commitment sum_i f_i * [tau^i]G1 via the device MSM
-    (reference compute_digest_from_srs, main.go:103-116)."""
+    (reference compute_digest_from_srs, main.go:103-116). The SRS is a
+    fixed base set, so on TPU this rides the windowed-table kernel."""
+    from porla_tpu.curves import pallas_curve
     assert len(coeffs) <= len(srs.g1_powers)
     sc = limbs.ints_to_limbs([c % FR for c in coeffs]
                              + [0] * (len(srs.g1_powers) - len(coeffs)))
-    out = ck.msm(bn254(), ck.to_device(srs.g1_dev), sc, nbits=256)
-    return bn254().to_affine(ck.to_host(out))[0]
+    ops = bn254()
+    if pallas_curve.use_pallas():
+        tbl = pallas_curve.fb_table_for(ops, srs.g1_dev)
+        parts = pallas_curve.fb_scalar_mul(tbl, sc, keep_pad=True)
+        out = ck.tree_sum(ops, parts)
+    else:
+        out = ck.msm(ops, ck.to_device(srs.g1_dev), sc, nbits=256)
+    return ops.to_affine(ck.to_host(out))[0]
 
 
 def commit_eval(tau: int, alpha: int, coeffs: list[int]):

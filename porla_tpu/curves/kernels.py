@@ -130,8 +130,24 @@ def to_device(p: JacPoint) -> JacPoint:
     return JacPoint(jnp.asarray(p.x), jnp.asarray(p.y), jnp.asarray(p.z))
 
 
+def fetch_many(arrs):
+    """Fetch several device arrays in ONE host round trip (each separate
+    np.asarray pays ~0.1-0.3 s of tunnel latency): flatten, concat on
+    device, one transfer, split on host. Host arrays pass through."""
+    if all(isinstance(a, np.ndarray) for a in arrs):
+        return list(arrs)
+    flats = [jnp.asarray(a).reshape(-1) for a in arrs]
+    host = np.asarray(jnp.concatenate(flats))
+    out, off = [], 0
+    for a in arrs:
+        sz = int(np.prod(a.shape)) if a.shape else 1
+        out.append(host[off:off + sz].reshape(a.shape))
+        off += sz
+    return out
+
+
 def to_host(p: JacPoint) -> JacPoint:
-    return JacPoint(np.asarray(p.x), np.asarray(p.y), np.asarray(p.z))
+    return JacPoint(*fetch_many([p.x, p.y, p.z]))
 
 
 def concat(points: list[JacPoint]) -> JacPoint:

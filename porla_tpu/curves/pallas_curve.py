@@ -581,6 +581,17 @@ def _pad_to(a, B):
     return np.concatenate([np.asarray(a), pad], axis=0)
 
 
+def _pad_to_dev(a, B):
+    """Device-side zero pad: never pulls a device-resident operand back
+    to the host (every host fetch through the tunnel costs ~0.15 s)."""
+    a = jnp.asarray(a)
+    cur = a.shape[0]
+    if cur == B:
+        return a
+    pad = jnp.zeros((B - cur,) + a.shape[1:], jnp.uint32)
+    return jnp.concatenate([a, pad], axis=0)
+
+
 def _scalar_digits(scalars, B: int, nbits: int):
     """(B0, 16)-limb scalars -> (32, B) digit tiles pre-shifted left by
     256-nbits bits (the kernel peels MSB windows from the top nibble).
@@ -611,7 +622,7 @@ def scalar_mul(ops: CurveOps, p: JacPoint, scalars, nbits: int = 256,
     B, bt_r = _prep(B0, bt)
     fn = _smul_call(nbits, B, bt_r, interpret)
     tabs = _curve_tables(ops.fp)
-    args = [_digits_T(_pad_to(c, B)) for c in (p.x, p.y, p.z)]
+    args = [_digits_T(_pad_to_dev(c, B)) for c in (p.x, p.y, p.z)]
     sc = _scalar_digits(scalars, B, nbits)
     x, y, z = fn(*args, sc, *(jnp.asarray(t) for t in tabs))
     if keep_pad:
@@ -630,7 +641,7 @@ def point_butterfly(ops: CurveOps, m0: JacPoint, m1: JacPoint, scalars,
     B, bt_r = _prep(B0, bt)
     fn = _butterfly_call(nbits, B, bt_r, interpret)
     tabs = _curve_tables(ops.fp)
-    args = [_digits_T(_pad_to(c, B))
+    args = [_digits_T(_pad_to_dev(c, B))
             for c in (m0.x, m0.y, m0.z, m1.x, m1.y, m1.z)]
     sc = _scalar_digits(scalars, B, nbits)
     out = fn(*args, sc, *(jnp.asarray(t) for t in tabs))

@@ -47,15 +47,18 @@ def bitrev_perm(count: int) -> np.ndarray:
     return out
 
 
-def cg_prepare(arr: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+def cg_prepare(arr, xp=np):
     """(n, C, 32) canonical digits -> stage-1 inputs u, t (1, 32, n/2, C)
-    with the pair axis bit-reversed. Host-side, one-time."""
+    with the pair axis bit-reversed. xp=jnp keeps it on device (static
+    gather; no host round trip)."""
     n, C, nd = arr.shape
     assert nd == ND
     rev = bitrev_perm(n // 2)
-    u = np.moveaxis(arr[0::2], 2, 0)[:, rev, :][None]
-    t = np.moveaxis(arr[1::2], 2, 0)[:, rev, :][None]
-    return np.ascontiguousarray(u), np.ascontiguousarray(t)
+    u = xp.moveaxis(arr[0::2], 2, 0)[:, rev, :][None]
+    t = xp.moveaxis(arr[1::2], 2, 0)[:, rev, :][None]
+    if xp is np:
+        return np.ascontiguousarray(u), np.ascontiguousarray(t)
+    return u, t
 
 
 def cg_stage(xp, lane_mod: mont.Modulus, u, t, mats8):

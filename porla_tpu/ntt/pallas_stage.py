@@ -291,8 +291,7 @@ def encode_stages_pallas(ctx, lane_mod: mont.Modulus, arr,
     from porla_tpu.ntt import mxu_cg
     if mats_list is None:
         mats_list = mxu_cg.stage_mats_list(ctx, lane_mod)
-    u, t = mxu_cg.cg_prepare(np.asarray(arr))
-    u, t = jnp.asarray(u), jnp.asarray(t)
+    u, t = mxu_cg.cg_prepare(jnp.asarray(arr), jnp)
     for s in range(1, ctx.height - 1):
         u, t = cg_step(u, t, mats_list[s - 1], lane_mod, bt, interpret)
     out = cg_step(u, t, mats_list[-1], lane_mod, bt, interpret)

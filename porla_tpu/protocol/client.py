@@ -106,11 +106,13 @@ class PorlaClient:
 
     def complement_points(self, records) -> JacPoint:
         """Batched h^PRF(level,index,step) as JacPoint (N,)."""
-        rs = self._complement_scalars(records)
-        h_rep = self.ops.from_affine(np, [self.h] * len(rs))
-        return hlog.host_point(
-            compute.point_scale(h_rep, limbs.ints_to_limbs(rs), nbits=128,
-                                ops=self.ops))
+        with trace.span("client.complements", n=len(records)):
+            rs = self._complement_scalars(records)
+            h_rep = self.ops.from_affine(np, [self.h] * len(rs))
+            # device-lazy: consumers (folds, MSMs, wire serialization)
+            # either stay on device or fetch once themselves
+            return compute.point_scale(h_rep, limbs.ints_to_limbs(rs),
+                                       nbits=128, ops=self.ops)
 
     # ----------------------------------------------------------- initialize
 
@@ -178,40 +180,11 @@ class PorlaClient:
         wt = ctx.wt_scalar(self.write_step)
         cx = complements_u
         wt_rep = np.broadcast_to(wt.std[0], (n, limbs.NLIMBS))
-        cy = hlog.host_point(compute.point_scale(complements_u, wt_rep,
-                                                 ops=self.ops))
+        cy = compute.point_scale(complements_u, wt_rep, ops=self.ops)
         for s in range(1, self.height):
-            cx = self._stage(s, cx)
-            cy = self._stage(s, cy)
-        return cx, cy
-
-    def _stage(self, s: int, macs: JacPoint) -> JacPoint:
-        n = self.num_blocks
-        m = 1 << s
-        m2 = m >> 1
-        tw = self.ctx.twiddles(m2)
-
-        def split(a):
-            a2 = np.asarray(a).reshape((n // m, m) + a.shape[1:])
-            return (a2[:, :m2].reshape((n // 2,) + a.shape[1:]),
-                    a2[:, m2:].reshape((n // 2,) + a.shape[1:]))
-
-        def join(hi, lo, like):
-            h = np.asarray(hi).reshape((n // m, m2) + like.shape[1:])
-            l2 = np.asarray(lo).reshape((n // m, m2) + like.shape[1:])
-            return np.concatenate([h, l2], axis=1).reshape(like.shape)
-
-        tw_tiled = type(tw)(np.tile(tw.std, (n // m, 1)),
-                            np.tile(tw.mont_p, (n // m, 1)),
-                            np.tile(tw.mont_q, (n // m, 1)))
-        u_pts = JacPoint(*[split(c)[0] for c in macs])
-        t_pts = JacPoint(*[split(c)[1] for c in macs])
-        his, los = compute.point_butterfly([u_pts], [t_pts], tw_tiled,
-                                           ops=self.ops)
-        hi, lo = hlog.host_point(his[0]), hlog.host_point(los[0])
-        return JacPoint(join(hi.x, lo.x, np.asarray(macs.x)),
-                        join(hi.y, lo.y, np.asarray(macs.y)),
-                        join(hi.z, lo.z, np.asarray(macs.z)))
+            cx = compute.point_stage(self.ctx, s, cx, ops=self.ops)
+            cy = compute.point_stage(self.ctx, s, cy, ops=self.ops)
+        return hlog.host_point(cx), hlog.host_point(cy)
 
     def _fresh_minus_folded(self, level: int, folded_x: JacPoint,
                             folded_y: JacPoint) -> bytes:
@@ -220,10 +193,11 @@ class PorlaClient:
         l = 1 << level
         fresh = self.complement_points(
             [(level, i, self.write_step) for i in range(2 * l)])
+        import jax.numpy as jnp
         folded = hlog.concat_points(folded_x, folded_y)
         ops = self.ops
         delta = ck.add(ops, ck.to_device(fresh),
-                       ck.to_device(ops.neg(np, folded)))
+                       ops.neg(jnp, ck.to_device(folded)))
         return points_io.points_to_bytes(ck.to_host(delta), ops)
 
     # --------------------------------------------------------------- update
@@ -250,7 +224,8 @@ class PorlaClient:
             updated_level = 0
             while ((self.write_step >> updated_level) & 1) == 0:
                 updated_level += 1
-            folded_x, folded_y = self._replay_fold(updated_level, compl)
+            with trace.span("client.replay_fold", level=updated_level):
+                folded_x, folded_y = self._replay_fold(updated_level, compl)
 
         deltas = self._fresh_minus_folded(updated_level, folded_x, folded_y)
         msg = (b"U" + self.block_bytes(chunks) + mac_b + deltas)
@@ -262,8 +237,7 @@ class PorlaClient:
         (Client.hpp:505-536) and folding (HAdd on complements)."""
         ws = self.write_step
         wt = self.ctx.wt_scalar(ws)
-        b2 = hlog.host_point(compute.point_scale(new_compl, wt.std,
-                                                 ops=self.ops))
+        b2 = compute.point_scale(new_compl, wt.std, ops=self.ops)
         if level == 0:
             return new_compl, b2
 
@@ -333,8 +307,7 @@ class PorlaClient:
             if lhs != rhs:
                 raise AuditError("MAC equation failed: data loss detected")
 
-            ipa.verify(commitment, proof, ck.to_device(self.generators),
-                       self.u)
+            ipa.verify(commitment, proof, self.generators, self.u)
             return
 
         # kzg (Client.hpp:846-876): reply = [proof(192) | MAC(96) |

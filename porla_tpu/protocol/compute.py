@@ -102,7 +102,7 @@ def encode_crt(mod_q, ctx, arr: CrtArray) -> CrtArray:
         outs = []
         for lane, mod in (("p", _MOD_P), ("q", mod_q)):
             mats = _stage_mats(ctx.n, ctx.scheme, ctx.hardened, lane)
-            d = mxu.digits_from_limbs(np, np.asarray(getattr(arr, lane)))
+            d = mxu.digits_from_limbs(jnp, jnp.asarray(getattr(arr, lane)))
             enc = pallas_stage.encode_stages_pallas(ctx, mod, d, mats)
             outs.append(mxu.limbs_from_digits(jnp, enc))
         return CrtArray(*outs)
@@ -133,16 +133,25 @@ def point_butterfly(M0s: list[JacPoint], M1s: list[JacPoint],
     """Butterfly several point planes with shared twiddles:
     returns ([M0 + v*M1], [M0 - v*M1]) per plane. Planes are stacked into
     one kernel call; the L axis is padded to a power of two."""
+    from porla_tpu.utils import trace
+    with trace.span("point_butterfly", L=M0s[0].x.shape[0],
+                    planes=len(M0s)):
+        return _point_butterfly(M0s, M1s, tw, ops)
+
+
+def _point_butterfly(M0s, M1s, tw, ops=None):
     from porla_tpu.curves import pallas_curve
     ops = ops or secp256k1()
     nplanes = len(M0s)
     L = M0s[0].x.shape[0]
     if pallas_curve.use_pallas():
         def cat(ms):
+            # stays on device: plane chaining across fold levels must not
+            # round-trip through the host (~0.15 s per tunnel fetch)
             return JacPoint(
-                np.concatenate([np.asarray(m.x) for m in ms], 0),
-                np.concatenate([np.asarray(m.y) for m in ms], 0),
-                np.concatenate([np.asarray(m.z) for m in ms], 0))
+                jnp.concatenate([jnp.asarray(m.x) for m in ms], 0),
+                jnp.concatenate([jnp.asarray(m.y) for m in ms], 0),
+                jnp.concatenate([jnp.asarray(m.z) for m in ms], 0))
         tws = np.tile(np.asarray(tw.std)[:L], (nplanes, 1))
         hi, lo = pallas_curve.point_butterfly(ops, cat(M0s), cat(M1s), tws)
         his = [JacPoint(hi.x[i * L:(i + 1) * L], hi.y[i * L:(i + 1) * L],
@@ -175,14 +184,46 @@ def point_butterfly(M0s: list[JacPoint], M1s: list[JacPoint],
 
 
 def _pad_inf(p: JacPoint, n: int) -> JacPoint:
+    """Pad with points at infinity, device-side (no host round trip)."""
     cur = p.x.shape[0]
     if cur == n:
         return p
     tail = (n - cur,) + p.x.shape[1:]
     return JacPoint(
-        np.concatenate([np.asarray(p.x), np.ones(tail, np.uint32)], 0),
-        np.concatenate([np.asarray(p.y), np.ones(tail, np.uint32)], 0),
-        np.concatenate([np.asarray(p.z), np.zeros(tail, np.uint32)], 0))
+        jnp.concatenate([jnp.asarray(p.x), jnp.ones(tail, jnp.uint32)], 0),
+        jnp.concatenate([jnp.asarray(p.y), jnp.ones(tail, jnp.uint32)], 0),
+        jnp.concatenate([jnp.asarray(p.z), jnp.zeros(tail, jnp.uint32)], 0))
+
+
+def point_stage(ctx, s: int, macs: JacPoint, ops=None) -> JacPoint:
+    """One radix-2 CRebuild stage over an (n, …) point plane (the MAC
+    mirror of the data stage loop, Server.hpp:1548-1687). Split/join run
+    on device (jnp) so consecutive stages chain without host fetches."""
+    n = macs.x.shape[0]
+    m = 1 << s
+    m2 = m >> 1
+    tw = ctx.twiddles(m2)
+
+    def split(a):
+        a2 = jnp.asarray(a).reshape((n // m, m) + a.shape[1:])
+        return (a2[:, :m2].reshape((n // 2,) + a.shape[1:]),
+                a2[:, m2:].reshape((n // 2,) + a.shape[1:]))
+
+    def join(hi, lo, like):
+        h = jnp.asarray(hi).reshape((n // m, m2) + like.shape[1:])
+        lo2 = jnp.asarray(lo).reshape((n // m, m2) + like.shape[1:])
+        return jnp.concatenate([h, lo2], axis=1).reshape(like.shape)
+
+    tw_tiled = type(tw)(np.tile(tw.std, (n // m, 1)),
+                        np.tile(tw.mont_p, (n // m, 1)),
+                        np.tile(tw.mont_q, (n // m, 1)))
+    u_pts = JacPoint(*[split(c)[0] for c in macs])
+    t_pts = JacPoint(*[split(c)[1] for c in macs])
+    his, los = point_butterfly([u_pts], [t_pts], tw_tiled, ops=ops)
+    hi, lo = his[0], los[0]
+    return JacPoint(join(hi.x, lo.x, macs.x),
+                    join(hi.y, lo.y, macs.y),
+                    join(hi.z, lo.z, macs.z))
 
 
 @lru_cache(maxsize=None)
@@ -195,6 +236,12 @@ def _point_scale_fn(ops: CurveOps, nbits: int):
 
 def point_scale(M: JacPoint, scalars, nbits: int = 256, ops=None) -> JacPoint:
     """Batched v_i * M_i with power-of-two padding (one executable)."""
+    from porla_tpu.utils import trace
+    with trace.span("point_scale", L=M.x.shape[0], nbits=nbits):
+        return _point_scale(M, scalars, nbits, ops)
+
+
+def _point_scale(M, scalars, nbits=256, ops=None):
     from porla_tpu.curves import pallas_curve
     L = M.x.shape[0]
     if pallas_curve.use_pallas():
@@ -202,7 +249,7 @@ def point_scale(M: JacPoint, scalars, nbits: int = 256, ops=None) -> JacPoint:
         sc = np.broadcast_to(sc, (L, limbs.NLIMBS))
         return pallas_curve.scalar_mul(ops or secp256k1(), M, sc, nbits)
     Lp = _pad_pow2(L)
-    Mp = ck.to_device(_pad_inf(ck.to_host(M), Lp))
+    Mp = _pad_inf(M, Lp)
     sc = np.asarray(scalars, dtype=np.uint32)
     if sc.shape[0] < Lp:
         sc = np.concatenate(

@@ -27,11 +27,11 @@ from porla_tpu.protocol import compute
 
 
 def host_crt(a: CrtArray) -> CrtArray:
-    return CrtArray(np.asarray(a.p), np.asarray(a.q))
+    return CrtArray(*ck.fetch_many([a.p, a.q]))
 
 
 def host_point(p: JacPoint) -> JacPoint:
-    return JacPoint(np.asarray(p.x), np.asarray(p.y), np.asarray(p.z))
+    return ck.to_host(p)
 
 
 def infinity_points(n: int, ops=None) -> JacPoint:
@@ -41,14 +41,18 @@ def infinity_points(n: int, ops=None) -> JacPoint:
 
 
 def concat_crt(a: CrtArray, b: CrtArray) -> CrtArray:
-    return CrtArray(np.concatenate([np.asarray(a.p), np.asarray(b.p)], 0),
-                    np.concatenate([np.asarray(a.q), np.asarray(b.q)], 0))
+    """Device-side concat (jnp): fold chains stay lazy on device; hosts
+    arrays are accepted and placed on device."""
+    import jax.numpy as jnp
+    return CrtArray(jnp.concatenate([jnp.asarray(a.p), jnp.asarray(b.p)], 0),
+                    jnp.concatenate([jnp.asarray(a.q), jnp.asarray(b.q)], 0))
 
 
 def concat_points(a: JacPoint, b: JacPoint) -> JacPoint:
-    return JacPoint(np.concatenate([np.asarray(a.x), np.asarray(b.x)], 0),
-                    np.concatenate([np.asarray(a.y), np.asarray(b.y)], 0),
-                    np.concatenate([np.asarray(a.z), np.asarray(b.z)], 0))
+    import jax.numpy as jnp
+    return JacPoint(jnp.concatenate([jnp.asarray(a.x), jnp.asarray(b.x)], 0),
+                    jnp.concatenate([jnp.asarray(a.y), jnp.asarray(b.y)], 0),
+                    jnp.concatenate([jnp.asarray(a.z), jnp.asarray(b.z)], 0))
 
 
 @dataclass
@@ -67,6 +71,55 @@ class Level:
     y: Planes
     empty: bool = True
     file_backed: bool = False  # data planes spilled to H_X/H_Y files
+
+
+def materialize_planes(p: Planes) -> Planes:
+    """Fetch a (possibly device-lazy) Planes to host numpy — ONE tunnel
+    round trip for all arrays, paid once when a fold deposits its
+    result."""
+    arrs = []
+    if p.data is not None:
+        arrs += [p.data.p, p.data.q]
+    names = p.point_names()
+    for n in names:
+        arrs += list(p.points[n])
+    flat = ck.fetch_many(arrs)
+    out = Planes()
+    k = 0
+    if p.data is not None:
+        out.data = CrtArray(flat[0], flat[1])
+        k = 2
+    for n in names:
+        out.points[n] = JacPoint(flat[k], flat[k + 1], flat[k + 2])
+        k += 3
+    return out
+
+
+def materialize_planes2(px: Planes, py: Planes) -> tuple[Planes, Planes]:
+    """Materialize an (X, Y) plane pair with a single fetch."""
+    def collect(p):
+        arrs = []
+        if p.data is not None:
+            arrs += [p.data.p, p.data.q]
+        for n in p.point_names():
+            arrs += list(p.points[n])
+        return arrs
+
+    ax, ay = collect(px), collect(py)
+    flat = ck.fetch_many(ax + ay)
+
+    def rebuild(p, chunk):
+        out = Planes()
+        k = 0
+        if p.data is not None:
+            out.data = CrtArray(chunk[0], chunk[1])
+            k = 2
+        for n in p.point_names():
+            out.points[n] = JacPoint(chunk[k], chunk[k + 1], chunk[k + 2])
+            k += 3
+        return out
+
+    return rebuild(px, flat[:len(ax)]), rebuild(py, flat[len(ax):])
 
 
 def mix_planes(ctx: NttContext, lower_x: Planes, lower_y: Planes,
@@ -89,7 +142,6 @@ def mix_planes(ctx: NttContext, lower_x: Planes, lower_y: Planes,
                        np.concatenate([tw.mont_p, tw.mont_p], 0),
                        np.concatenate([tw.mont_q, tw.mont_q], 0))
         hi, lo = compute.data_butterfly(ctx.mod_q, a0, a1, tw2)
-        hi, lo = host_crt(hi), host_crt(lo)
         out_x.data = concat_crt(
             CrtArray(hi.p[:length], hi.q[:length]),
             CrtArray(lo.p[:length], lo.q[:length]))
@@ -103,11 +155,11 @@ def mix_planes(ctx: NttContext, lower_x: Planes, lower_y: Planes,
     his, los = compute.point_butterfly(m0, m1, tw,
                                        ops=getattr(ctx, "curve_ops", None))
     k = len(names)
+    # outputs stay device-lazy: fold chains consume them directly, and
+    # fold_to_level materializes the final level once at deposit time
     for idx, n in enumerate(names):
-        out_x.points[n] = host_point(
-            concat_points(host_point(his[idx]), host_point(los[idx])))
-        out_y.points[n] = host_point(
-            concat_points(host_point(his[k + idx]), host_point(los[k + idx])))
+        out_x.points[n] = concat_points(his[idx], los[idx])
+        out_y.points[n] = concat_points(his[k + idx], los[k + idx])
     return out_x, out_y
 
 
@@ -120,8 +172,7 @@ def fold_to_level(ctx: NttContext, levels: list[Level], target: int,
     for i in range(1, target):
         st_x, st_y = mix_planes(ctx, levels[i].x, levels[i].y, st_x, st_y,
                                 1 << i)
-    levels[target].x = st_x
-    levels[target].y = st_y
+    levels[target].x, levels[target].y = materialize_planes2(st_x, st_y)
     levels[target].empty = False
     for i in range(target):
         levels[i].x = Planes()

@@ -24,12 +24,14 @@ MAC_WIRE_SIZE = 96
 def points_to_bytes(pts: JacPoint, ops=None) -> bytes:
     """Batched JacPoint (N,) -> N*96 bytes. Converts Montgomery ->
     standard form on the host (exact)."""
+    from porla_tpu.curves import kernels as ck
     fp = (ops or secp256k1()).fp
     p = fp.n
     rinv = pow(fp.r, -1, p)
-    xs = limbs.limbs_to_ints(np.asarray(pts.x))
-    ys = limbs.limbs_to_ints(np.asarray(pts.y))
-    zs = limbs.limbs_to_ints(np.asarray(pts.z))
+    hx, hy, hz = ck.fetch_many([pts.x, pts.y, pts.z])
+    xs = limbs.limbs_to_ints(hx)
+    ys = limbs.limbs_to_ints(hy)
+    zs = limbs.limbs_to_ints(hz)
     out = bytearray()
     for x, y, z in zip(xs, ys, zs):
         out += ((x * rinv) % p).to_bytes(32, "little")

@@ -138,24 +138,27 @@ class PorlaServer:
         wt = ctx.wt_scalar(self.write_step)
 
         data_x = self.store.read_blocks_crt(range(n), self.mod_q)
-        data_y = hlog.host_crt(compute.scale_crt(self.mod_q, data_x, wt))
+        data_y = compute.scale_crt(self.mod_q, data_x, wt)
 
         mc_x = self.mac_u
         wt_rep = np.broadcast_to(wt.std[0], (n, limbs.NLIMBS))
-        mc_y = hlog.host_point(compute.point_scale(self.mac_u, wt_rep,
-                                                   ops=self.ops))
+        mc_y = compute.point_scale(self.mac_u, wt_rep, ops=self.ops)
 
         # data planes: all butterfly stages in one fused encode (the
         # constant-geometry Pallas pipeline on TPU); MAC-commitment
         # planes: per-stage point butterflies. Alignments are reset to
         # infinity (no align_MAC in the cached path).
         with trace.span("server.crebuild.data"):
-            dx = hlog.host_crt(compute.encode_crt(self.mod_q, ctx, data_x))
-            dy = hlog.host_crt(compute.encode_crt(self.mod_q, ctx, data_y))
+            dx = compute.encode_crt(self.mod_q, ctx, data_x)
+            dy = compute.encode_crt(self.mod_q, ctx, data_y)
         cx, cy = mc_x, mc_y
         for s in range(1, self.height):
             cx = self._crebuild_mac_stage(s, cx)
             cy = self._crebuild_mac_stage(s, cy)
+        (dxp, dxq, dyp, dyq, *pts) = ck.fetch_many(
+            [dx.p, dx.q, dy.p, dy.q] + list(cx) + list(cy))
+        dx, dy = CrtArray(dxp, dxq), CrtArray(dyp, dyq)
+        cx, cy = JacPoint(*pts[:3]), JacPoint(*pts[3:])
 
         top = self.levels[self.height - 1]
         top.x = Planes(data=dx,
@@ -172,39 +175,10 @@ class PorlaServer:
         self._spill_level(self.height - 1)
 
     def _crebuild_mac_stage(self, s: int, macs: JacPoint) -> JacPoint:
-        """One radix-2 stage over the (n,) MAC-commitment plane."""
+        """One radix-2 stage over the (n,) MAC-commitment plane
+        (device-resident; stages chain lazily)."""
         with trace.span("server.crebuild.mac_stage", s=s):
-            return self._crebuild_mac_stage_impl(s, macs)
-
-    def _crebuild_mac_stage_impl(self, s: int, macs: JacPoint) -> JacPoint:
-        n = self.num_blocks
-        m = 1 << s
-        m2 = m >> 1
-        tw = self.ctx.twiddles(m2)
-
-        # flatten pairs: (n/m, m, …) -> u = [:, :m2], t = [:, m2:]
-        def split(a):
-            a2 = a.reshape((n // m, m) + a.shape[1:])
-            return (a2[:, :m2].reshape((n // 2,) + a.shape[1:]),
-                    a2[:, m2:].reshape((n // 2,) + a.shape[1:]))
-
-        def join(hi, lo, like):
-            h = hi.reshape((n // m, m2) + like.shape[1:])
-            lo2 = lo.reshape((n // m, m2) + like.shape[1:])
-            return np.concatenate([h, lo2], axis=1).reshape(like.shape)
-
-        tw_tiled = type(tw)(np.tile(tw.std, (n // m, 1)),
-                            np.tile(tw.mont_p, (n // m, 1)),
-                            np.tile(tw.mont_q, (n // m, 1)))
-
-        mx_u = JacPoint(*[split(np.asarray(c))[0] for c in macs])
-        mx_t = JacPoint(*[split(np.asarray(c))[1] for c in macs])
-        his, los = compute.point_butterfly([mx_u], [mx_t], tw_tiled,
-                                           ops=self.ops)
-        hi_p, lo_p = hlog.host_point(his[0]), hlog.host_point(los[0])
-        return JacPoint(join(hi_p.x, lo_p.x, np.asarray(macs.x)),
-                        join(hi_p.y, lo_p.y, np.asarray(macs.y)),
-                        join(hi_p.z, lo_p.z, np.asarray(macs.z)))
+            return compute.point_stage(self.ctx, s, macs, ops=self.ops)
 
     # --------------------------------------------------------------- update
 
@@ -418,8 +392,7 @@ class PorlaServer:
                 b_vec.append(v)
                 v = (v * v) % self.mod_q.n
             with trace.span("server.audit.prove"):
-                proof = ipa.prove(a_vec, b_vec,
-                                  ck.to_device(self.generators), self.u)
+                proof = ipa.prove(a_vec, b_vec, self.generators, self.u)
             return (ecc.secp_serialize_compressed(commitment)
                     + ecc.secp_serialize_compressed(combined_mac)
                     + ecc.secp_serialize_compressed(combined_align)
