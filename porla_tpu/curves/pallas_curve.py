@@ -565,12 +565,22 @@ def _limbs_T(d) -> "jnp.ndarray":
 
 
 def _prep(B0: int, bt: int):
-    """Pad the batch to a lane-aligned size; pick the tile width."""
-    B = max(128, -(-B0 // 128) * 128)
+    """Pad the batch to a lane-aligned size; pick the tile width.
+
+    Batches below _MIN_B pad up to _MIN_B so that every small call (fold
+    levels 0..7, single-point scales, short MSMs) shares ONE compiled
+    executable — each distinct batch size costs a fresh Pallas kernel
+    compile through the remote compile service (~30-90 s on this
+    platform), which dwarfs the wasted lanes (kernel time at 512 lanes
+    ~= 128 lanes; the VPU is latency-bound at these widths)."""
+    B = max(_MIN_B, -(-B0 // 128) * 128)
     btr = min(bt, B)
     while B % btr:
         btr >>= 1
     return B, btr
+
+
+_MIN_B = 512
 
 
 def _pad_to(a, B):

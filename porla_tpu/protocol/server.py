@@ -363,13 +363,29 @@ class PorlaServer:
                             np.stack([b[1] for b in bag]),
                             np.stack([b[2] for b in bag]))
 
-        coeff_limbs = limbs.ints_to_limbs(coeffs)
+        coeff_limbs = limbs.ints_to_limbs(coeffs + coeffs)
         ops = self.ops
         with trace.span("server.audit.msm", n=len(coeffs)):
-            combined_mac_j = ck.msm(
-                ops, ck.to_device(stack_pts(ptc)), coeff_limbs, nbits=32)
-            combined_align_j = ck.msm(
-                ops, ck.to_device(stack_pts(pta)), coeff_limbs, nbits=32)
+            # MAC + alignment MSMs share coefficients -> one kernel call
+            # over the stacked point set, reduced per half
+            both = hlog.concat_points(stack_pts(ptc), stack_pts(pta))
+            from porla_tpu.curves import pallas_curve
+            if pallas_curve.use_pallas():
+                parts = pallas_curve.scalar_mul(
+                    ops, both, coeff_limbs, nbits=32, keep_pad=True)
+                half = len(coeffs)
+                combined_mac_j = ck.tree_sum(ops, ck.index(
+                    parts, slice(0, half)))
+                combined_align_j = ck.tree_sum(ops, ck.index(
+                    parts, slice(half, 2 * half)))
+            else:
+                half = len(coeffs)
+                combined_mac_j = ck.msm(
+                    ops, ck.index(both, slice(0, half)),
+                    coeff_limbs[:half], nbits=32)
+                combined_align_j = ck.msm(
+                    ops, ck.index(both, slice(half, 2 * half)),
+                    coeff_limbs[half:], nbits=32)
 
         # align_MAC(B, combined_align); commitment over the reduced B
         B1 = CrtArray(B.p[None], B.q[None])
