@@ -27,6 +27,9 @@ def main():
                     help="ZMQ endpoint of a running server")
     ap.add_argument("--store", type=str, default=None)
     ap.add_argument("--scheme", choices=["ipa", "kzg"], default="ipa")
+    ap.add_argument("--resume", action="store_true",
+                    help="with --serve: resume from a checkpoint in "
+                         "--store (see PorlaServer.save_checkpoint)")
     args = ap.parse_args()
 
     import jax
@@ -41,8 +44,12 @@ def main():
     cfg = PorlaConfig(scheme=args.scheme, storage_dir=store)
 
     if args.serve:
-        print(f"serving on tcp://*:{cfg.server_port}, store={store}")
-        serve_zmq(PorlaServer(cfg), f"tcp://*:{cfg.server_port}")
+        server = (PorlaServer.restore(cfg) if args.resume
+                  else PorlaServer(cfg))
+        mode = "resumed" if args.resume else "fresh"
+        print(f"serving on tcp://*:{cfg.server_port}, store={store} "
+              f"({mode})")
+        serve_zmq(server, f"tcp://*:{cfg.server_port}")
         return
 
     from porla_tpu.protocol.client import PorlaClient

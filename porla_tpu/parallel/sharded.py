@@ -113,6 +113,34 @@ def sharded_encode_fn(ctx: NttContext, mesh: Mesh, mod: mont.Modulus):
     return jax.jit(fn)
 
 
+def sharded_msm_fn(mesh: Mesh, nbits: int = 256):
+    """Builds f(px, py, pz, scalars) -> (1,) MSM total with the point
+    axis sharded over "blocks" (data parallel): each shard computes a
+    windowed partial MSM over its slice, partials combine with an
+    all-gather + local point-add chain (group elements do not psum).
+    The multi-chip form of the audit combination MSMs
+    (Server.hpp:831-848)."""
+    ops = secp256k1()
+    nblk = mesh.shape["blocks"]
+
+    def body(px, py, pz, scalars):
+        parts = ops.scalar_mul(jnp, JacPoint(px, py, pz), scalars, nbits)
+        local = ops.tree_sum(jnp, parts, axis=0)          # (1, 16)
+        gathered = jax.lax.all_gather(tuple(local), "blocks")
+        acc = JacPoint(gathered[0][0], gathered[1][0], gathered[2][0])
+        for i in range(1, nblk):
+            acc = ops.add(jnp, acc, JacPoint(
+                gathered[0][i], gathered[1][i], gathered[2][i]))
+        return tuple(acc)
+
+    fn = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P("blocks"), P("blocks"), P("blocks"), P("blocks")),
+        out_specs=(P(), P(), P()),
+        check_vma=False)
+    return jax.jit(fn)
+
+
 def sharded_commit_fn(mesh: Mesh, nbits: int = 256):
     """Builds f(gx, gy, gz, scalars) -> (B,) commitment points where the
     generator/chunk axis is sharded over "chunks" and blocks over "blocks".

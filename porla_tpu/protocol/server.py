@@ -125,6 +125,87 @@ class PorlaServer:
         lv.y.points["c"] = hlog.host_point(
             ck.add(ops, ck.to_device(lv.y.points["c"]), ck.to_device(dy)))
 
+    # --------------------------------------------------- checkpoint/resume
+
+    def save_checkpoint(self) -> str:
+        """Persist the full server state (write counter, MAC planes, RAM
+        levels) alongside the U/H_X/H_Y trees so a server can resume
+        in-place. The reference ships (unused) helpers for this
+        (write_database_to_file / write_MAC_to_file, utils.h:212-232,
+        400-471) but has no resume path in main; here it is first-class.
+        Returns the checkpoint path."""
+        import json
+        import os
+        assert self._state == "ready", "checkpoint only from ready state"
+        arrays: dict = {}
+        meta = {"scheme": self.config.scheme,
+                "num_blocks": self.num_blocks,
+                "write_step": self.write_step,
+                "levels": []}
+        for li, lv in enumerate(self.levels):
+            lm = {"empty": lv.empty, "file_backed": lv.file_backed,
+                  "sides": {}}
+            for side, planes in (("x", lv.x), ("y", lv.y)):
+                pm = {"has_data": planes.data is not None,
+                      "points": planes.point_names()}
+                if planes.data is not None:
+                    arrays[f"L{li}{side}_dp"] = np.asarray(planes.data.p)
+                    arrays[f"L{li}{side}_dq"] = np.asarray(planes.data.q)
+                for nm in planes.point_names():
+                    pt = planes.points[nm]
+                    for c, a in zip("xyz", pt):
+                        arrays[f"L{li}{side}_{nm}{c}"] = np.asarray(a)
+                lm["sides"][side] = pm
+            meta["levels"].append(lm)
+        for c, a in zip("xyz", self.mac_u):
+            arrays[f"mac_u_{c}"] = np.asarray(a)
+        if self.config.scheme == "kzg":
+            arrays["srs"] = np.frombuffer(self.srs.to_bytes(), np.uint8)
+        path = os.path.join(self.store.root, "checkpoint.npz")
+        np.savez(path, **arrays)
+        with open(os.path.join(self.store.root, "checkpoint.json"),
+                  "w") as f:
+            json.dump(meta, f)
+        return path
+
+    @classmethod
+    def restore(cls, config: PorlaConfig) -> "PorlaServer":
+        """Resume a server from save_checkpoint state in
+        config.storage_dir (U/H_X/H_Y files are used in place)."""
+        import json
+        import os
+        srv = cls(config)
+        with open(os.path.join(config.storage_dir,
+                               "checkpoint.json")) as f:
+            meta = json.load(f)
+        data = np.load(os.path.join(config.storage_dir, "checkpoint.npz"))
+        assert meta["scheme"] == config.scheme
+        if config.scheme == "kzg":
+            from porla_tpu.commit import kzg
+            srv.srs = kzg.KzgSrs.from_bytes(data["srs"].tobytes())
+        srv._setup(meta["num_blocks"])
+        srv.write_step = meta["write_step"]
+        srv.mac_u = JacPoint(data["mac_u_x"], data["mac_u_y"],
+                             data["mac_u_z"])
+        for li, lm in enumerate(meta["levels"]):
+            lv = srv.levels[li]
+            lv.empty = lm["empty"]
+            lv.file_backed = lm["file_backed"]
+            for side in ("x", "y"):
+                pm = lm["sides"][side]
+                planes = Planes()
+                if pm["has_data"]:
+                    planes.data = CrtArray(data[f"L{li}{side}_dp"],
+                                           data[f"L{li}{side}_dq"])
+                for nm in pm["points"]:
+                    planes.points[nm] = JacPoint(
+                        data[f"L{li}{side}_{nm}x"],
+                        data[f"L{li}{side}_{nm}y"],
+                        data[f"L{li}{side}_{nm}z"])
+                setattr(lv, side, planes)
+        srv._state = "ready"
+        return srv
+
     # ------------------------------------------------------------- rebuild
 
     def _crebuild(self) -> None:
