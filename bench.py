@@ -22,6 +22,38 @@ import time
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.expanduser("~/.jax_cache"))
 
+def _probe_backend() -> None:
+    """The axon TPU relay can be down; jax initialization then hangs or
+    raises inside this process. Probe device init in a SUBPROCESS with a
+    timeout, and fall back to the CPU backend (axon plugin stripped from
+    PYTHONPATH, since with the plugin importable JAX_PLATFORMS is
+    ignored) so the bench always emits its JSON line."""
+    import subprocess
+    import sys
+    if os.environ.get("PORLA_BENCH_NO_PROBE") == "1":
+        return
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=420, capture_output=True)
+        if r.returncode == 0:
+            return
+    except subprocess.TimeoutExpired:
+        pass
+    print("WARN: device backend unavailable; falling back to CPU",
+          flush=True)
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PORLA_BENCH_NO_PROBE"] = "1"
+    env["PYTHONPATH"] = ":".join(
+        p for p in env.get("PYTHONPATH", "").split(":")
+        if p and "axon" not in p)
+    os.execve(sys.executable, [sys.executable, os.path.abspath(__file__)],
+              env)
+
+
+_probe_backend()
+
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
