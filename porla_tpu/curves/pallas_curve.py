@@ -278,6 +278,49 @@ def _scalar_mul_body(p, s, tabs, nbits):
     return acc
 
 
+def _glv_smul_body(p, s1, s2, g1, g2, beta, tabs):
+    """GLV windowed scalar mul: k*P = k1*P + k2*phi(P) with phi = the
+    cube-root endomorphism (x, y) -> (beta*x, y) and |k1|, |k2| < 2^128
+    (see curves/glv.py; reference ecmult_impl.h:620-634). Halves the
+    doubling chain: 32 windows of (4 dbl + 2 table adds) instead of 64
+    of (4 dbl + 1 add).
+
+    s1, s2: (32, B) digit tiles pre-shifted for 128 bits; g1, g2:
+    (1, B) sign masks (1 = negate); beta: (ND, 1) Montgomery digits."""
+    rd = tabs[3]
+    nd = tabs[2]
+    x, y, z = p
+    zero = x & np.uint32(0)
+
+    def neg_if(pt, m):
+        return _sel_pt(m != 0, _p_neg(pt, tabs), pt)
+
+    p1 = neg_if((x, y, z), g1)
+    p2 = neg_if((_f_mul(x, beta + zero, tabs), y, z), g2)
+    tbl1 = _build_table(p1, tabs)
+    tbl2 = _build_table(p2, tabs)
+    acc0 = (rd + zero, rd + zero, zero)
+
+    def body(_, carry):
+        acc, s1, s2 = carry
+        d1 = s1[ND - 1:ND] >> np.uint32(4)
+        d2 = s2[ND - 1:ND] >> np.uint32(4)
+
+        def shift(s):
+            return ((s << np.uint32(4)) & _M8) \
+                | jnp.pad(s[:ND - 1] >> np.uint32(4), ((1, 0), (0, 0)))
+        acc = _p_dbl(acc, tabs)
+        acc = _p_dbl(acc, tabs)
+        acc = _p_dbl(acc, tabs)
+        acc = _p_dbl(acc, tabs)
+        acc = _p_add(acc, _lookup(tbl1, d1), tabs)
+        acc = _p_add(acc, _lookup(tbl2, d2), tabs)
+        return (acc, shift(s1), shift(s2))
+
+    (acc, _, _) = jax.lax.fori_loop(0, 32, body, (acc0, s1, s2))
+    return acc
+
+
 # --- fixed-base path --------------------------------------------------------
 #
 # The protocol's commitment MSMs (Pedersen generators, KZG SRS — reference
@@ -342,6 +385,29 @@ def _butterfly_kernel(nbits, m0x, m0y, m0z, m1x, m1y, m1z, s_ref,
     lx[:], ly[:], lz[:] = _p_add(m0, _p_neg(t, tabs), tabs)
 
 
+def _glv_smul_kernel(x_ref, y_ref, z_ref, s1_ref, s2_ref, g1_ref, g2_ref,
+                     mN__ref, mN_ref, nd_ref, rd_ref, beta_ref,
+                     ox, oy, oz):
+    tabs = (mN__ref[:], mN_ref[:], nd_ref[:], rd_ref[:])
+    p = (x_ref[:], y_ref[:], z_ref[:])
+    r = _glv_smul_body(p, s1_ref[:], s2_ref[:], g1_ref[:], g2_ref[:],
+                       beta_ref[:], tabs)
+    ox[:], oy[:], oz[:] = r
+
+
+def _glv_butterfly_kernel(m0x, m0y, m0z, m1x, m1y, m1z,
+                          s1_ref, s2_ref, g1_ref, g2_ref,
+                          mN__ref, mN_ref, nd_ref, rd_ref, beta_ref,
+                          hx, hy, hz, lx, ly, lz):
+    tabs = (mN__ref[:], mN_ref[:], nd_ref[:], rd_ref[:])
+    m1 = (m1x[:], m1y[:], m1z[:])
+    t = _glv_smul_body(m1, s1_ref[:], s2_ref[:], g1_ref[:], g2_ref[:],
+                       beta_ref[:], tabs)
+    m0 = (m0x[:], m0y[:], m0z[:])
+    hx[:], hy[:], hz[:] = _p_add(m0, t, tabs)
+    lx[:], ly[:], lz[:] = _p_add(m0, _p_neg(t, tabs), tabs)
+
+
 # --- host-side wrappers -----------------------------------------------------
 
 @lru_cache(maxsize=None)
@@ -395,6 +461,74 @@ def _butterfly_call(nbits: int, B: int, bt: int, interpret: bool):
         out_shape=(out,) * 6,
         interpret=interpret,
     ))
+
+
+@lru_cache(maxsize=None)
+def _glv_smul_call(B: int, bt: int, interpret: bool):
+    spec = pl.BlockSpec((ND, bt), lambda b: (0, b),
+                        memory_space=pltpu.VMEM)
+    sgn = pl.BlockSpec((1, bt), lambda b: (0, b),
+                       memory_space=pltpu.VMEM)
+    beta = pl.BlockSpec((ND, 1), lambda b: (0, 0),
+                        memory_space=pltpu.VMEM)
+    out = jax.ShapeDtypeStruct((ND, B), jnp.uint32)
+    return jax.jit(pl.pallas_call(
+        _glv_smul_kernel,
+        grid=(B // bt,),
+        in_specs=[spec] * 5 + [sgn] * 2 + _table_specs() + [beta],
+        out_specs=(spec,) * 3,
+        out_shape=(out,) * 3,
+        interpret=interpret,
+    ))
+
+
+@lru_cache(maxsize=None)
+def _glv_butterfly_call(B: int, bt: int, interpret: bool):
+    spec = pl.BlockSpec((ND, bt), lambda b: (0, b),
+                        memory_space=pltpu.VMEM)
+    sgn = pl.BlockSpec((1, bt), lambda b: (0, b),
+                       memory_space=pltpu.VMEM)
+    beta = pl.BlockSpec((ND, 1), lambda b: (0, 0),
+                        memory_space=pltpu.VMEM)
+    out = jax.ShapeDtypeStruct((ND, B), jnp.uint32)
+    return jax.jit(pl.pallas_call(
+        _glv_butterfly_kernel,
+        grid=(B // bt,),
+        in_specs=[spec] * 8 + [sgn] * 2 + _table_specs() + [beta],
+        out_specs=(spec,) * 6,
+        out_shape=(out,) * 6,
+        interpret=interpret,
+    ))
+
+
+def _glv_prep(ops: CurveOps, scalars, B: int):
+    """Host-side GLV split of a (B0, 16) scalar-limb batch: returns
+    (s1, s2 digit tiles pre-shifted for 128 bits, g1, g2 sign masks,
+    beta Montgomery digit column). Distinct values are decomposed once
+    (fold twiddles arrive heavily tiled)."""
+    from porla_tpu.curves import glv
+    from porla_tpu.fields import limbs as L2
+    gp = glv.params_for(ops.curve)
+    ints = L2.limbs_to_ints(np.asarray(scalars, np.uint32))
+    cache: dict = {}
+    rows = []
+    for k in ints:
+        d = cache.get(k)
+        if d is None:
+            d = cache[k] = glv.decompose(k, gp)
+        rows.append(d)
+    k1 = L2.ints_to_limbs([d[0] for d in rows])
+    k2 = L2.ints_to_limbs([d[2] for d in rows])
+    s1 = _scalar_digits(k1, B, 128)
+    s2 = _scalar_digits(k2, B, 128)
+    g1 = np.zeros((1, B), np.uint32)
+    g2 = np.zeros((1, B), np.uint32)
+    g1[0, :len(rows)] = [d[1] for d in rows]
+    g2[0, :len(rows)] = [d[3] for d in rows]
+    beta_mont = ops.fp.to_mont_int(gp.beta)
+    beta = np.asarray([(beta_mont >> (8 * i)) & 0xFF for i in range(ND)],
+                      np.uint32).reshape(ND, 1)
+    return s1, s2, jnp.asarray(g1), jnp.asarray(g2), jnp.asarray(beta)
 
 
 _FB_W = 4  # windows per grid step (VMEM: 2 x W x 1.5 MB table blocks)
@@ -626,15 +760,22 @@ def scalar_mul(ops: CurveOps, p: JacPoint, scalars, nbits: int = 256,
     keep_pad=True returns the full lane-aligned batch (padded lanes hold
     the point at infinity) so downstream reductions see a constant shape
     per 128-lane bucket instead of recompiling per exact size."""
+    import os
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     B0 = p.x.shape[0]
     B, bt_r = _prep(B0, bt)
-    fn = _smul_call(nbits, B, bt_r, interpret)
     tabs = _curve_tables(ops.fp)
     args = [_digits_T(_pad_to_dev(c, B)) for c in (p.x, p.y, p.z)]
-    sc = _scalar_digits(scalars, B, nbits)
-    x, y, z = fn(*args, sc, *(jnp.asarray(t) for t in tabs))
+    if nbits == 256 and os.environ.get("PORLA_NO_GLV") != "1":
+        glv_args = _glv_prep(ops, scalars, B)
+        fn = _glv_smul_call(B, bt_r, interpret)
+        x, y, z = fn(*args, *glv_args[:4],
+                     *(jnp.asarray(t) for t in tabs), glv_args[4])
+    else:
+        fn = _smul_call(nbits, B, bt_r, interpret)
+        sc = _scalar_digits(scalars, B, nbits)
+        x, y, z = fn(*args, sc, *(jnp.asarray(t) for t in tabs))
     if keep_pad:
         return JacPoint(_limbs_T(x), _limbs_T(y), _limbs_T(z))
     return JacPoint(_limbs_T(x)[:B0], _limbs_T(y)[:B0], _limbs_T(z)[:B0])
@@ -645,16 +786,23 @@ def point_butterfly(ops: CurveOps, m0: JacPoint, m1: JacPoint, scalars,
                     interpret: bool | None = None):
     """(m0 + s*m1, m0 - s*m1) per lane — the MAC-mirror butterfly
     (reference Server.hpp:1592-1609) as one fused kernel."""
+    import os
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     B0 = m0.x.shape[0]
     B, bt_r = _prep(B0, bt)
-    fn = _butterfly_call(nbits, B, bt_r, interpret)
     tabs = _curve_tables(ops.fp)
     args = [_digits_T(_pad_to_dev(c, B))
             for c in (m0.x, m0.y, m0.z, m1.x, m1.y, m1.z)]
-    sc = _scalar_digits(scalars, B, nbits)
-    out = fn(*args, sc, *(jnp.asarray(t) for t in tabs))
+    if nbits == 256 and os.environ.get("PORLA_NO_GLV") != "1":
+        glv_args = _glv_prep(ops, scalars, B)
+        fn = _glv_butterfly_call(B, bt_r, interpret)
+        out = fn(*args, *glv_args[:4],
+                 *(jnp.asarray(t) for t in tabs), glv_args[4])
+    else:
+        fn = _butterfly_call(nbits, B, bt_r, interpret)
+        sc = _scalar_digits(scalars, B, nbits)
+        out = fn(*args, sc, *(jnp.asarray(t) for t in tabs))
     hi = JacPoint(*(_limbs_T(c)[:B0] for c in out[:3]))
     lo = JacPoint(*(_limbs_T(c)[:B0] for c in out[3:]))
     return hi, lo

@@ -107,12 +107,19 @@ class PorlaClient:
     def complement_points(self, records) -> JacPoint:
         """Batched h^PRF(level,index,step) as JacPoint (N,)."""
         with trace.span("client.complements", n=len(records)):
+            from porla_tpu.curves import pallas_curve
             rs = self._complement_scalars(records)
-            h_rep = self.ops.from_affine(np, [self.h] * len(rs))
+            sc = limbs.ints_to_limbs(rs)
             # device-lazy: consumers (folds, MSMs, wire serialization)
             # either stay on device or fetch once themselves
-            return compute.point_scale(h_rep, limbs.ints_to_limbs(rs),
-                                       nbits=128, ops=self.ops)
+            if pallas_curve.use_pallas():
+                # h is a FIXED base: windowed-table kernel, no doublings
+                tbl = pallas_curve.fb_table_for(
+                    self.ops, self.ops.from_affine(np, [self.h]),
+                    nbits=128)
+                return pallas_curve.fb_scalar_mul(tbl, sc)
+            h_rep = self.ops.from_affine(np, [self.h] * len(rs))
+            return compute.point_scale(h_rep, sc, nbits=128, ops=self.ops)
 
     # ----------------------------------------------------------- initialize
 

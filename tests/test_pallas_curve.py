@@ -66,6 +66,7 @@ def test_fixed_base_scalar_mul():
 
 @slow
 def test_scalar_mul_full_256bit():
+    # nbits=256 routes through the GLV kernel by default
     ops = secp256k1()
     cur = ops.curve
     pts = _rand_points(ops, 3)
@@ -77,6 +78,37 @@ def test_scalar_mul_full_256bit():
     got = ops.to_affine(out)
     for pt, s, g in zip(pts, sc, got):
         assert g == ecc.mul(cur, pt, s)
+
+
+@slow
+def test_scalar_mul_full_256bit_no_glv(monkeypatch):
+    monkeypatch.setenv("PORLA_NO_GLV", "1")
+    test_scalar_mul_full_256bit()
+
+
+def test_glv_decomposition_both_curves():
+    # fast host-level check of the derived endomorphism parameters
+    import random
+
+    from porla_tpu.curves import glv
+    from porla_tpu.curves.instances import bn254
+    for ops in (secp256k1(), bn254()):
+        cur = ops.curve
+        gp = glv.params_for(cur)
+        assert pow(gp.lam, 3, cur.n) == 1 and gp.lam != 1
+        assert pow(gp.beta, 3, cur.p) == 1 and gp.beta != 1
+        r = random.Random(4)
+        for k in [0, 1, cur.n - 1] + [r.getrandbits(256)
+                                      for _ in range(20)]:
+            k1, s1, k2, s2 = glv.decompose(k, gp)
+            v = ((-k1 if s1 else k1)
+                 + gp.lam * (-k2 if s2 else k2)) % cur.n
+            assert v == k % cur.n
+            assert k1 < 1 << 128 and k2 < 1 << 128
+        # the endomorphism really is (x, y) -> (beta*x, y)
+        pt = ecc.mul(cur, cur.g, 12345)
+        lp = ecc.mul(cur, pt, gp.lam)
+        assert lp == ((gp.beta * pt[0]) % cur.p, pt[1])
 
 
 @slow
