@@ -112,6 +112,27 @@ def test_glv_decomposition_both_curves():
 
 
 @slow
+def test_point_butterfly_glv_256bit():
+    # the protocol's fold path: butterfly with full-width twiddles goes
+    # through the GLV kernel
+    ops = secp256k1()
+    cur = ops.curve
+    k = 4
+    m0 = _rand_points(ops, k - 1) + [ecc.INF]
+    m1 = _rand_points(ops, k)
+    sc = [rng.getrandbits(256) for _ in range(k - 1)] + [0]
+    hi, lo = pallas_curve.point_butterfly(
+        ops, ops.from_affine(np, m0), ops.from_affine(np, m1),
+        L.ints_to_limbs(sc), nbits=256, interpret=True)
+    got_hi = ops.to_affine(hi)
+    got_lo = ops.to_affine(lo)
+    for a, b, s, gh, gl in zip(m0, m1, sc, got_hi, got_lo):
+        t = ecc.mul(cur, b, s)
+        assert gh == ecc.add(cur, a, t)
+        assert gl == ecc.add(cur, a, ecc.neg(cur, t))
+
+
+@slow
 def test_point_butterfly_matches_golden():
     ops = secp256k1()
     cur = ops.curve
