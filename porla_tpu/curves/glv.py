@@ -60,26 +60,33 @@ def _cube_roots_of_unity(p: int) -> list[int]:
 
 def _short_basis(n: int, lam: int):
     """Extended-Euclid descent on (n, lam): rows (r, t) with
-    r = t*lam mod n; take the first two with r < sqrt(n) (the classic
-    GLV basis v = (r, -t), so r - t*lam = 0 mod n)."""
-    rows = []
+    r = t*lam mod n. The classic GLV construction: v1 = (r_l, -t_l) at
+    the first index l where r_l < sqrt(n); v2 = the SHORTER (max-norm) of
+    rows l-1 and l+1 — not merely the next short row, so the
+    decomposition bound below is guaranteed, not incidental (advisor r1
+    finding)."""
+    seq = []  # (r, t) rows of the descent
     r0, r1 = n, lam
     t0, t1 = 0, 1
     lim = 1
     while lim * lim < n:
         lim <<= 1
     while r1:
-        if r1 < lim:
-            rows.append((r1, t1))
-            if len(rows) == 2:
-                break
+        seq.append((r1, t1))
         q = r0 // r1
         r0, r1 = r1, r0 - q * r1
         t0, t1 = t1, t0 - q * t1
-    assert len(rows) == 2, "euclid descent found no short basis"
-    (r1_, t1_), (r2_, t2_) = rows
+        if len(seq) >= 2 and seq[-2][0] < lim:
+            break
+    # l = first index with r < sqrt(n); candidates are rows l-1 and l+1
+    l = next(i for i, (r, _) in enumerate(seq) if r < lim)
+    v1 = (seq[l][0], -seq[l][1])
+    cands = [seq[l - 1]] if l > 0 else []
+    if l + 1 < len(seq):
+        cands.append(seq[l + 1])
+    rC, tC = min(cands, key=lambda rt: max(abs(rt[0]), abs(rt[1])))
     # v_i = (a_i, b_i) with a_i + b_i*lam = 0 mod n
-    return (r1_, -t1_), (r2_, -t2_)
+    return v1, (rC, -tC)
 
 
 class GlvParams:
@@ -104,8 +111,14 @@ def params_for(curve) -> GlvParams:
                 v1, v2 = _short_basis(n, lam)
                 for (a, b) in (v1, v2):
                     assert (a + b * lam) % n == 0
-                    assert abs(a) * abs(a) < 16 * n and \
-                        abs(b) * abs(b) < 16 * n
+                # decompose() rounds the lattice coordinates, so
+                # |k1| <= (|a1|+|a2|)/2 and |k2| <= (|b1|+|b2|)/2; the
+                # 128-bit limit the 32-window kernels rely on is
+                # therefore ESTABLISHED HERE once, for any curve —
+                # not re-checked per batch as a crash-only guard
+                (a1, b1), (a2, b2) = v1, v2
+                assert abs(a1) + abs(a2) < (1 << 129), (v1, v2)
+                assert abs(b1) + abs(b2) < (1 << 129), (v1, v2)
                 return GlvParams(lam, beta, v1, v2, n)
     raise AssertionError("no (lambda, beta) pair matched the endomorphism")
 

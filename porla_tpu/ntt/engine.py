@@ -59,19 +59,30 @@ def crt_to_ints(arr: CrtArray, mod_q: "mont.Modulus") -> list[int]:
     return [xp_ + p * (((xq - xp_) * pinv) % q) for xp_, xq in zip(ps, qs)]
 
 
-def crt_reduce_mod_p(xp, arr: CrtArray) -> CrtArray:
-    """A := A mod p. The p-lane is already the canonical value in [0, p);
-    since p < q it is also canonical in the q lane — the new pair is
-    (A_p, A_p). Mirrors align_MAC's `A[i] = A[i] % PRIME_MODULUS`
-    (Server.hpp:499-502)."""
-    return CrtArray(arr.p, arr.p)
+def crt_reduce_mod_p(xp, arr: CrtArray, mod_q: mont.Modulus) -> CrtArray:
+    """A := A mod p. The p-lane is already the canonical value in [0, p).
+    For IPA (q = SECP_N > p) that value is also canonical in the q lane;
+    for KZG (BN254_R < p) it must be fully reduced or the q lane carries a
+    non-canonical residue that corrupts later align_scalars/sub_mod
+    results (advisor r1 high finding). Mirrors align_MAC's
+    `A[i] = A[i] % PRIME_MODULUS` (Server.hpp:499-502)."""
+    return CrtArray(arr.p, q_lane_from_p(xp, arr.p, mod_q))
+
+
+def q_lane_from_p(xp, arr_p, mod_q: mont.Modulus):
+    """Canonical q-lane residue of a canonical-mod-p (…, 16) value."""
+    if mod_q.n > C.FFT_PRIME:
+        return arr_p
+    return mont.mod_reduce(xp, arr_p, mod_q)
 
 
 def align_scalars(xp, arr: CrtArray, mod_q: mont.Modulus):
     """(A mod p - A) mod q per element — the correction scalars committed
     by align_MAC (Server.hpp:499-503; NTL `%` semantics make both terms
-    canonical). Returns (…, 16) standard-form q-lane values."""
-    return mont.sub_mod(xp, arr.p, arr.q, mod_q)
+    canonical). Returns (…, 16) standard-form q-lane values. The p lane
+    (a value < p, possibly >= q for KZG) is canonicalized mod q first so
+    the single-borrow sub_mod is exact."""
+    return mont.sub_mod(xp, q_lane_from_p(xp, arr.p, mod_q), arr.q, mod_q)
 
 
 class Twiddles(NamedTuple):

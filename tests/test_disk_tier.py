@@ -11,9 +11,11 @@ from porla_tpu.protocol.server import PorlaServer
 from porla_tpu.protocol.transport import InProcTransport
 
 
-@pytest.fixture(scope="module")
-def pair(tmp_path_factory):
-    cfg = PorlaConfig(scheme="ipa", top_caching_level=1,
+@pytest.fixture(scope="module", params=["ipa", "kzg"])
+def pair(request, tmp_path_factory):
+    # kzg exercises the q-lane re-canonicalization on materialize/spill
+    # (BN254_R < p; advisor r1 high finding)
+    cfg = PorlaConfig(scheme=request.param, top_caching_level=1,
                       storage_dir=str(tmp_path_factory.mktemp("store")))
     server = PorlaServer(cfg)
     client = PorlaClient(cfg, InProcTransport(server),

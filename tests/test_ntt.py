@@ -111,8 +111,31 @@ def test_align_scalars_and_reduce():
     from porla_tpu.fields import limbs
     c = engine.align_scalars(np, arr, ctx.mod_q)
     assert limbs.limbs_to_ints(c) == [((v % P) - v) % q for v in vals]
-    red = engine.crt_reduce_mod_p(np, arr)
+    red = engine.crt_reduce_mod_p(np, arr, ctx.mod_q)
     assert engine.crt_to_ints(red, ctx.mod_q) == [v % P for v in vals]
+
+
+def test_align_scalars_and_reduce_kzg():
+    """KZG lane: BN254_R < p, so mod-p-canonical values are NOT canonical
+    mod q; crt_reduce_mod_p / align_scalars must fully reduce (advisor r1
+    high finding — a single-borrow sub_mod is off by 2^256 mod q when
+    (p-lane - q-lane) exceeds q)."""
+    ctx = engine.NttContext(8, "kzg")
+    q = ctx.mod_q.n
+    lcm = C.FFT_PRIME * q
+    vals = [rng.getrandbits(500) % lcm for _ in range(6)]
+    # include adversarial values: q-lane small, p-lane near p (max gap)
+    vals += [C.FFT_PRIME - 1 - k + C.FFT_PRIME * ((-(C.FFT_PRIME - 1 - k)
+             * pow(C.FFT_PRIME, -1, q) + k) % q) for k in range(3)]
+    from porla_tpu.fields import limbs
+    arr = engine.crt_from_ints(vals, ctx.mod_q)
+    c = engine.align_scalars(np, arr, ctx.mod_q)
+    assert limbs.limbs_to_ints(c) == [((v % P) - v) % q for v in vals]
+    red = engine.crt_reduce_mod_p(np, arr, ctx.mod_q)
+    assert engine.crt_to_ints(red, ctx.mod_q) == [v % P for v in vals]
+    # q_lane_from_p canonicalizes a stored mod-p file value
+    ql = engine.q_lane_from_p(np, arr.p, ctx.mod_q)
+    assert limbs.limbs_to_ints(ql) == [(v % P) % q for v in vals]
 
 
 def test_wt_scalar():
