@@ -25,26 +25,46 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 def _probe_backend() -> None:
     """The axon TPU relay can be down; jax initialization then hangs or
     raises inside this process. Probe device init in a SUBPROCESS with a
-    timeout, and fall back to the CPU backend (axon plugin stripped from
-    PYTHONPATH, since with the plugin importable JAX_PLATFORMS is
-    ignored) so the bench always emits its JSON line."""
+    timeout, RETRYING with backoff through transient relay flaps
+    (~25 min total by default; PORLA_BENCH_MAX_WAIT seconds to override).
+    Only after the full retry window falls back to the CPU backend (axon
+    plugin stripped from PYTHONPATH, since with the plugin importable
+    JAX_PLATFORMS is ignored) so the bench always emits its JSON line —
+    marked "fallback": true with vs_baseline null (a CPU number is not
+    comparable to the per-chip baseline; round-1 lesson)."""
     import subprocess
     import sys
     if os.environ.get("PORLA_BENCH_NO_PROBE") == "1":
         return
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
-            timeout=420, capture_output=True)
-        if r.returncode == 0:
-            return
-    except subprocess.TimeoutExpired:
-        pass
-    print("WARN: device backend unavailable; falling back to CPU",
-          flush=True)
+    deadline = time.monotonic() + float(
+        os.environ.get("PORLA_BENCH_MAX_WAIT", "1500"))
+    sleep_s = 15.0
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=420, capture_output=True)
+            if r.returncode == 0:
+                return
+            detail = (r.stderr or b"").decode(errors="replace")[-200:]
+        except subprocess.TimeoutExpired:
+            detail = "probe timeout (420s)"
+        remaining = deadline - time.monotonic()
+        if remaining <= 0:
+            break
+        print(f"WARN: device probe attempt {attempt} failed ({detail}); "
+              f"retrying in {sleep_s:.0f}s ({remaining:.0f}s left)",
+              flush=True)
+        time.sleep(min(sleep_s, max(remaining, 1.0)))
+        sleep_s = min(sleep_s * 2, 240.0)
+    print("WARN: device backend unavailable after retries; "
+          "falling back to CPU (fallback-labeled result)", flush=True)
     env = dict(os.environ)
     env["JAX_PLATFORMS"] = "cpu"
     env["PORLA_BENCH_NO_PROBE"] = "1"
+    env["PORLA_BENCH_FALLBACK"] = "1"
     env["PYTHONPATH"] = ":".join(
         p for p in env.get("PYTHONPATH", "").split(":")
         if p and "axon" not in p)
@@ -66,9 +86,12 @@ REFERENCE_CPU_COEFFS_PER_S = 1.2e6  # estimated; BENCH_NOTES.md
 def main():
     from porla_tpu.ntt import engine, mxu_cg, pallas_stage
 
-    on_tpu = jax.default_backend() == "tpu"
-    n = 1 << 14 if on_tpu else 1 << 8
-    nchunks = 128 if on_tpu else 16
+    fallback = os.environ.get("PORLA_BENCH_FALLBACK") == "1"
+    # workload dimensions are FIXED across backends so numbers stay
+    # comparable round to round (n=2^14, C=128 — the calibration point of
+    # the baseline denominator, BENCH_NOTES.md)
+    n = 1 << 14
+    nchunks = 128
     ctx = engine.NttContext(n, "ipa")
     # Toeplitz twiddle stacks as device arrays (passed as args so they are
     # not baked into the compiled program)
@@ -105,20 +128,26 @@ def main():
         _ = np.asarray(wq[0, 0, 0, :1])
 
     one_round()  # compile + warm
-    reps = 3
+    reps = 1 if fallback else 3
     t0 = time.perf_counter()
     for _ in range(reps):
         one_round()
     dt = (time.perf_counter() - t0) / reps
 
     coeffs_per_s = n * nchunks / dt
-    print(json.dumps({
+    out = {
         "metric": "icc_encode_coeffs_per_s",
         "value": round(coeffs_per_s, 1),
         "unit": f"256-bit coeffs/s (n=2^{n.bit_length()-1}, C={nchunks}, "
                 f"both CRT lanes, {jax.default_backend()})",
         "vs_baseline": round(coeffs_per_s / REFERENCE_CPU_COEFFS_PER_S, 3),
-    }))
+    }
+    if fallback:
+        # a CPU-host number is not a per-chip measurement; never report
+        # it as a ratio against the per-chip baseline
+        out["fallback"] = True
+        out["vs_baseline"] = None
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
