@@ -27,6 +27,11 @@ def main():
                     help="ZMQ endpoint of a running server")
     ap.add_argument("--store", type=str, default=None)
     ap.add_argument("--scheme", choices=["ipa", "kzg"], default="ipa")
+    ap.add_argument("--top", type=int, default=None,
+                    help="top_caching_level (lower it to drive the "
+                         "out-of-core streamed tier)")
+    ap.add_argument("--stripe", type=int, default=None,
+                    help="stream_stripe_blocks for the out-of-core tier")
     ap.add_argument("--resume", action="store_true",
                     help="with --serve: resume from a checkpoint in "
                          "--store (see PorlaServer.save_checkpoint)")
@@ -41,7 +46,12 @@ def main():
                                               ZmqClientTransport, serve_zmq)
 
     store = args.store or tempfile.mkdtemp(prefix="porla_store_")
-    cfg = PorlaConfig(scheme=args.scheme, storage_dir=store)
+    extra = {}
+    if args.top is not None:
+        extra["top_caching_level"] = args.top
+    if args.stripe is not None:
+        extra["stream_stripe_blocks"] = args.stripe
+    cfg = PorlaConfig(scheme=args.scheme, storage_dir=store, **extra)
 
     if args.serve:
         server = (PorlaServer.restore(cfg) if args.resume

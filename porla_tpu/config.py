@@ -49,6 +49,16 @@ class PorlaConfig:
     tau_key: bytes = TAU_KEY
     server_port: int = SERVER_PORT
     storage_dir: str = "porla_store"
+    # out-of-core tier: blocks per streaming stripe (the RAM/HBM working
+    # set of the streamed CRebuild/mix, ~16 KB per block per side; the
+    # TPU-native reshaping of the reference's per-butterfly 512-byte file
+    # RMW in CRebuild_No_Cached / disk mix, Server.hpp:1835-2255, 954-1207)
+    stream_stripe_blocks: int = 4096
+    # multi-chip: a jax.sharding.Mesh with ("blocks", "chunks") axes. When
+    # set, the server's CRebuild data encode, MAC-mirror point stages,
+    # commitments and audit MSMs run sharded over the mesh
+    # (porla_tpu/parallel/sharded.py) instead of single-device.
+    mesh: object = None
 
     def __post_init__(self):
         if self.scheme not in ("ipa", "kzg"):

@@ -113,14 +113,103 @@ def sharded_encode_fn(ctx: NttContext, mesh: Mesh, mod: mont.Modulus):
     return jax.jit(fn)
 
 
-def sharded_msm_fn(mesh: Mesh, nbits: int = 256):
+def stage_twiddle_tables_std(ctx: NttContext):
+    """Per-stage (n, 16) STANDARD-form twiddles (EC scalar use): entry g =
+    v_s^(g mod m2) — the factors of the MAC-mirror point butterflies
+    (Server.hpp:1592)."""
+    n = ctx.n
+    tables = []
+    for s in range(1, ctx.height):
+        m2 = 1 << (s - 1)
+        tw = ctx.twiddles(m2)
+        idx = np.arange(n) % m2
+        tables.append(np.asarray(tw.std)[idx])
+    return tables
+
+
+def sharded_point_stage_fn(ctx: NttContext, mesh: Mesh, ops=None,
+                           nbits: int = 256):
+    """Builds f(px, py, pz, tw_std) -> one radix-2 stage over an (n,) MAC
+    point plane sharded on "blocks" — the multi-chip MAC mirror of the
+    CRebuild stage loop (the actual O(n log n) EC cost, Server.hpp:
+    1548-1830). The stage index is baked per returned fn: local butterfly
+    when the pair span fits the shard, ppermute coordinate exchange
+    otherwise (same pairing as sharded_encode_fn).
+
+    Returns a dict stage -> jitted fn over global (n, 16) arrays."""
+    ops = ops or secp256k1()
+    n = ctx.n
+    nblk = mesh.shape["blocks"]
+    n_loc = n // nblk
+
+    def make(s: int):
+        m = 1 << s
+        m2 = m >> 1
+
+        def local_stage(px, py, pz, tw):
+            L = px.shape[0]
+
+            def sp(a):
+                a2 = a.reshape((L // m, m, limbs.NLIMBS))
+                return (a2[:, :m2].reshape(L // 2, limbs.NLIMBS),
+                        a2[:, m2:].reshape(L // 2, limbs.NLIMBS))
+
+            ux, tx = sp(px)
+            uy, ty = sp(py)
+            uz, tz = sp(pz)
+            tww = tw.reshape((L // m, m, limbs.NLIMBS))[:, :m2].reshape(
+                L // 2, limbs.NLIMBS)
+            t = ops.scalar_mul(jnp, JacPoint(tx, ty, tz), tww, nbits)
+            u = JacPoint(ux, uy, uz)
+            hi = ops.add(jnp, u, t)
+            lo = ops.add(jnp, u, ops.neg(jnp, t))
+
+            def join(h, l, like):
+                h2 = h.reshape((L // m, m2, limbs.NLIMBS))
+                l2 = l.reshape((L // m, m2, limbs.NLIMBS))
+                return jnp.concatenate([h2, l2], axis=1).reshape(like.shape)
+
+            return (join(hi.x, lo.x, px), join(hi.y, lo.y, py),
+                    join(hi.z, lo.z, pz))
+
+        def exchange_stage(px, py, pz, tw):
+            shard_shift = m2 // n_loc
+            me = jax.lax.axis_index("blocks")
+            perm = [(d, d ^ shard_shift) for d in range(nblk)]
+            ox = jax.lax.ppermute(px, "blocks", perm)
+            oy = jax.lax.ppermute(py, "blocks", perm)
+            oz = jax.lax.ppermute(pz, "blocks", perm)
+            am_hi = (me & shard_shift) == 0
+            u = JacPoint(jnp.where(am_hi, px, ox),
+                         jnp.where(am_hi, py, oy),
+                         jnp.where(am_hi, pz, oz))
+            tpt = JacPoint(jnp.where(am_hi, ox, px),
+                           jnp.where(am_hi, oy, py),
+                           jnp.where(am_hi, oz, pz))
+            t = ops.scalar_mul(jnp, tpt, tw, nbits)
+            hi = ops.add(jnp, u, t)
+            lo = ops.add(jnp, u, ops.neg(jnp, t))
+            return (jnp.where(am_hi, hi.x, lo.x),
+                    jnp.where(am_hi, hi.y, lo.y),
+                    jnp.where(am_hi, hi.z, lo.z))
+
+        body = local_stage if m <= n_loc else exchange_stage
+        return jax.jit(jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P("blocks"),) * 4,
+            out_specs=(P("blocks"),) * 3))
+
+    return {s: make(s) for s in range(1, ctx.height)}
+
+
+def sharded_msm_fn(mesh: Mesh, nbits: int = 256, ops=None):
     """Builds f(px, py, pz, scalars) -> (1,) MSM total with the point
     axis sharded over "blocks" (data parallel): each shard computes a
     windowed partial MSM over its slice, partials combine with an
     all-gather + local point-add chain (group elements do not psum).
     The multi-chip form of the audit combination MSMs
     (Server.hpp:831-848)."""
-    ops = secp256k1()
+    ops = ops or secp256k1()
     nblk = mesh.shape["blocks"]
 
     def body(px, py, pz, scalars):
@@ -141,11 +230,11 @@ def sharded_msm_fn(mesh: Mesh, nbits: int = 256):
     return jax.jit(fn)
 
 
-def sharded_commit_fn(mesh: Mesh, nbits: int = 256):
+def sharded_commit_fn(mesh: Mesh, nbits: int = 256, ops=None):
     """Builds f(gx, gy, gz, scalars) -> (B,) commitment points where the
     generator/chunk axis is sharded over "chunks" and blocks over "blocks".
     Partial per-shard MSMs are combined with an all-gather + local adds."""
-    ops = secp256k1()
+    ops = ops or secp256k1()
 
     def body(gx, gy, gz, scalars):
         # gx: (NG_loc, 16); scalars: (B_loc, NG_loc, 16)

@@ -37,7 +37,11 @@ def host_point(p: JacPoint) -> JacPoint:
 def infinity_points(n: int, ops=None) -> JacPoint:
     ops = ops or secp256k1()
     inf = ops.infinity(np, (n,))
-    return JacPoint(np.asarray(inf.x), np.asarray(inf.y), np.asarray(inf.z))
+    # materialize (broadcast views are read-only): callers assign rows
+    # in place (server MAC planes)
+    return JacPoint(np.ascontiguousarray(inf.x),
+                    np.ascontiguousarray(inf.y),
+                    np.ascontiguousarray(inf.z))
 
 
 def concat_crt(a: CrtArray, b: CrtArray) -> CrtArray:

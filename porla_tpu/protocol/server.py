@@ -43,6 +43,7 @@ class PorlaServer:
             self.ops = bn254()
         self.num_blocks = 0
         self.write_step = 0
+        self._mesh = config.mesh
         self._state = "generators"
 
     # ------------------------------------------------------------------ wire
@@ -93,22 +94,51 @@ class PorlaServer:
         self.levels = [Level(Planes(), Planes()) for _ in range(self.height)]
         self.mac_u = hlog.infinity_points(num_blocks, self.ops)
         self._blocks_received = 0
+        self._mesh = self.config.mesh
+        if self._mesh is not None:
+            self._setup_sharded()
+
+    def _setup_sharded(self) -> None:
+        """Multi-chip mode: build the sharded CRebuild/commit/MSM kernels
+        over the configured mesh (parallel/sharded.py). The data encode
+        shards blocks over "blocks" with ppermute stage exchanges; the
+        MAC mirror is a sharded point butterfly per stage; commitments
+        are TP over "chunks"; audit combination MSMs are DP."""
+        import jax.numpy as jnp
+        from porla_tpu.parallel import sharded
+        ctx, mesh = self.ctx, self._mesh
+        self._sh_tab_p = [jnp.asarray(t) for t in
+                          sharded.stage_twiddle_tables(ctx, ctx.mod_p)]
+        self._sh_tab_q = [jnp.asarray(t) for t in
+                          sharded.stage_twiddle_tables(ctx, ctx.mod_q)]
+        self._sh_tab_std = [jnp.asarray(t) for t in
+                            sharded.stage_twiddle_tables_std(ctx)]
+        self._sh_enc_p = sharded.sharded_encode_fn(ctx, mesh, ctx.mod_p)
+        self._sh_enc_q = sharded.sharded_encode_fn(ctx, mesh, ctx.mod_q)
+        self._sh_pt = sharded.sharded_point_stage_fn(ctx, mesh, self.ops)
+        self._sh_commit = sharded.sharded_commit_fn(mesh, ops=self.ops)
+        self._sh_msm32 = sharded.sharded_msm_fn(mesh, nbits=32,
+                                                ops=self.ops)
 
     def _recv_blocks(self, msg: bytes) -> None:
+        """Absorb one init batch: threaded batch block write + ONE MAC
+        parse + in-place row assignment (the round-1 path rebuilt the full
+        (n, 16) MAC arrays per block — O(n^2) copies at scale)."""
         rec = BLOCK_SIZE + points_io.MAC_WIRE_SIZE
         assert len(msg) % rec == 0
         count = len(msg) // rec
-        for k in range(count):
-            data = msg[k * rec:k * rec + BLOCK_SIZE]
-            mac = msg[k * rec + BLOCK_SIZE:(k + 1) * rec]
-            i = self._blocks_received
-            self.store.write_block(i, data)
-            pt = points_io.points_from_bytes(mac, ops=self.ops)
-            self.mac_u = hlog.host_point(JacPoint(
-                _set_row(self.mac_u.x, i, pt.x[0]),
-                _set_row(self.mac_u.y, i, pt.y[0]),
-                _set_row(self.mac_u.z, i, pt.z[0])))
-            self._blocks_received += 1
+        view = memoryview(msg)
+        datas = b"".join(view[k * rec:k * rec + BLOCK_SIZE]
+                         for k in range(count))
+        macs = b"".join(view[k * rec + BLOCK_SIZE:(k + 1) * rec]
+                        for k in range(count))
+        i0 = self._blocks_received
+        self.store.write_blocks(range(i0, i0 + count), datas)
+        pts = points_io.points_from_bytes(macs, ops=self.ops)
+        self.mac_u.x[i0:i0 + count] = pts.x
+        self.mac_u.y[i0:i0 + count] = pts.y
+        self.mac_u.z[i0:i0 + count] = pts.z
+        self._blocks_received += count
 
     def _absorb_deltas(self, level: int, msg: bytes) -> None:
         """Add complement deltas into MAC_commitments_H[level]
@@ -209,9 +239,14 @@ class PorlaServer:
     # ------------------------------------------------------------- rebuild
 
     def _crebuild(self) -> None:
-        """CRebuild_Cached (Server.hpp:1487-1833): rebuild level C from U."""
+        """CRebuild (Server.hpp:1479-1485): rebuild level C from U.
+        Cached (all-RAM) when the C level fits the caching budget,
+        streamed out-of-core otherwise (CRebuild_No_Cached)."""
         with trace.span("server.crebuild", n=self.num_blocks):
-            self._crebuild_impl()
+            if self.height - 1 > self.config.top_caching_level:
+                self._crebuild_streaming()
+            else:
+                self._crebuild_impl()
 
     def _crebuild_impl(self) -> None:
         n = self.num_blocks
@@ -230,8 +265,17 @@ class PorlaServer:
         # planes: per-stage point butterflies. Alignments are reset to
         # infinity (no align_MAC in the cached path).
         with trace.span("server.crebuild.data"):
-            dx = compute.encode_crt(self.mod_q, ctx, data_x)
-            dy = compute.encode_crt(self.mod_q, ctx, data_y)
+            if self._mesh is not None:
+                import jax.numpy as jnp
+                dx = CrtArray(
+                    self._sh_enc_p(jnp.asarray(data_x.p), *self._sh_tab_p),
+                    self._sh_enc_q(jnp.asarray(data_x.q), *self._sh_tab_q))
+                dy = CrtArray(
+                    self._sh_enc_p(jnp.asarray(data_y.p), *self._sh_tab_p),
+                    self._sh_enc_q(jnp.asarray(data_y.q), *self._sh_tab_q))
+            else:
+                dx = compute.encode_crt(self.mod_q, ctx, data_x)
+                dy = compute.encode_crt(self.mod_q, ctx, data_y)
         cx, cy = mc_x, mc_y
         for s in range(1, self.height):
             cx = self._crebuild_mac_stage(s, cx)
@@ -253,12 +297,61 @@ class PorlaServer:
             self.levels[i].y = Planes()
             self.levels[i].empty = True
             self.levels[i].file_backed = False
-        self._spill_level(self.height - 1)
+
+    def _crebuild_streaming(self) -> None:
+        """CRebuild_No_Cached (Server.hpp:1835-2255): rebuild level C from
+        U with the data plane streamed through staging files — RAM holds
+        at most a stripe. MAC planes stay device/RAM-resident like the
+        reference's (Server.hpp:221-241)."""
+        from porla_tpu.protocol import stream
+        n = self.num_blocks
+        ctx = self.ctx
+        top = self.height - 1
+        S = self.config.stream_stripe_blocks
+        wt = ctx.wt_scalar(self.write_step)
+        tag_x, tag_y = "crx", "cry"
+
+        stream.stage_u_to_staging(self.store, ctx, wt, n, tag_x, tag_y, S)
+        for s in range(1, self.height):
+            stream.stream_stage(self.store, ctx, tag_x, n, s, S)
+            stream.stream_stage(self.store, ctx, tag_y, n, s, S)
+
+        # MAC mirror: per-stage point butterflies (device-resident)
+        wt_rep = np.broadcast_to(wt.std[0], (n, limbs.NLIMBS))
+        cx = self.mac_u
+        cy = compute.point_scale(self.mac_u, wt_rep, ops=self.ops)
+        for s in range(1, self.height):
+            cx = self._crebuild_mac_stage(s, cx)
+            cy = self._crebuild_mac_stage(s, cy)
+        pts = ck.fetch_many(list(cx) + list(cy))
+        cx, cy = JacPoint(*pts[:3]), JacPoint(*pts[3:])
+
+        ax = stream.finalize_staged_level(self, tag_x, True, top, n, S)
+        ay = stream.finalize_staged_level(self, tag_y, False, top, n, S)
+
+        top_lv = self.levels[top]
+        top_lv.x = Planes(data=None, points={"c": cx, "a": ax})
+        top_lv.y = Planes(data=None, points={"c": cy, "a": ay})
+        top_lv.empty = False
+        top_lv.file_backed = True
+        for i in range(top):
+            self.levels[i].x = Planes()
+            self.levels[i].y = Planes()
+            self.levels[i].empty = True
+            self.levels[i].file_backed = False
 
     def _crebuild_mac_stage(self, s: int, macs: JacPoint) -> JacPoint:
         """One radix-2 stage over the (n,) MAC-commitment plane
-        (device-resident; stages chain lazily)."""
+        (device-resident; stages chain lazily). Sharded over the mesh's
+        "blocks" axis in multi-chip mode."""
         with trace.span("server.crebuild.mac_stage", s=s):
+            if self._mesh is not None:
+                import jax.numpy as jnp
+                out = self._sh_pt[s](jnp.asarray(macs.x),
+                                     jnp.asarray(macs.y),
+                                     jnp.asarray(macs.z),
+                                     self._sh_tab_std[s - 1])
+                return JacPoint(*out)
             return compute.point_stage(self.ctx, s, macs, ops=self.ops)
 
     # --------------------------------------------------------------- update
@@ -277,10 +370,9 @@ class PorlaServer:
         mac = points_io.points_from_bytes(
             payload[BLOCK_SIZE:BLOCK_SIZE + points_io.MAC_WIRE_SIZE],
             ops=self.ops)
-        self.mac_u = hlog.host_point(JacPoint(
-            _set_row(self.mac_u.x, index - 1, mac.x[0]),
-            _set_row(self.mac_u.y, index - 1, mac.y[0]),
-            _set_row(self.mac_u.z, index - 1, mac.z[0])))
+        self.mac_u.x[index - 1] = mac.x[0]
+        self.mac_u.y[index - 1] = mac.y[0]
+        self.mac_u.z[index - 1] = mac.z[0]
 
         self.write_step += 1
         if self.write_step % self.num_blocks == 0:
@@ -324,64 +416,108 @@ class PorlaServer:
         level = 1
         while not self.levels[level].empty:
             level += 1
-        for i in range(level):
-            self._materialize_level(i)
-        hlog.fold_to_level(ctx, self.levels, level, slot_x, slot_y)
-        self._spill_level(level)
+        if level > self.config.top_caching_level:
+            self._fold_streamed(level, slot_x, slot_y)
+        else:
+            hlog.fold_to_level(ctx, self.levels, level, slot_x, slot_y)
         return level
 
-    # ---------------------------------------------------- disk tier (H_X/H_Y)
+    def _fold_streamed(self, target: int, slot_x: Planes,
+                       slot_y: Planes) -> None:
+        """Fold levels 0..target-1 + the incoming slot into file-backed
+        level `target` with the data planes streamed stripewise through
+        staging files (the reference's disk `mix`, Server.hpp:954-1207).
+        Point (MAC) planes fold on device as usual."""
+        from porla_tpu.protocol import stream
+        ctx = self.ctx
+        S = self.config.stream_stripe_blocks
+        ram_limit = 1 << self.config.top_caching_level
+        store = self.store
 
-    def _spill_level(self, level: int) -> None:
-        """Beyond TOP_CACHING_LEVEL a level's data lives on disk as
-        mod-p-reduced 256-bit codeword files, with the reduction committed
-        into the alignment MACs — the TPU-native reshaping of the
-        reference's disk tier (CRebuild_No_Cached final stage and disk
-        `mix`, Server.hpp:1835-2255, :954-1207: per-butterfly file RMW
-        becomes stage-streamed compute + one aligned batched spill)."""
-        if level <= self.config.top_caching_level:
-            return
-        trace.count("server.spill_level")
-        lv = self.levels[level]
+        def pts_only(p: Planes) -> Planes:
+            return Planes(data=None, points=p.points)
+
+        # point planes: same fold chain as hlog.fold_to_level
+        st_px, st_py = hlog.mix_planes(
+            ctx, pts_only(self.levels[0].x), pts_only(self.levels[0].y),
+            pts_only(slot_x), pts_only(slot_y), 1)
+        # data planes: RAM while the output fits the caching budget, then
+        # staged files; `dx`/`dy` are CrtArray (RAM) or a staging tag
+        dx, dy = slot_x.data, slot_y.data
+        tag_cycle = 0
+        for i in range(1, target + 1):
+            length = 1 << (i - 1)        # upper/lower size of this mix
+            lv = self.levels[i - 1]
+            if i < target:
+                st_px, st_py = hlog.mix_planes(
+                    ctx, pts_only(self.levels[i].x),
+                    pts_only(self.levels[i].y), st_px, st_py, 1 << i)
+            # the point mix above consumed level i as lower; the DATA mix
+            # below consumes level i-1 as lower of the length-sized step
+            if 2 * length <= ram_limit:
+                tw = ctx.twiddles(length)
+                hix, lox = compute.data_butterfly(
+                    ctx.mod_q, lv.x.data, dx, tw)
+                hiy, loy = compute.data_butterfly(
+                    ctx.mod_q, lv.y.data, dy, tw)
+                dx = hlog.concat_crt(hix, lox)
+                dy = hlog.concat_crt(hiy, loy)
+            else:
+                out_x = f"fx{tag_cycle ^ 1}"
+                out_y = f"fy{tag_cycle ^ 1}"
+                for is_x, d, planes, out_tag in (
+                        (True, dx, lv.x, out_x), (False, dy, lv.y, out_y)):
+                    if planes.data is not None:
+                        lower = stream.ram_reader(planes.data)
+                    else:
+                        lower = stream.level_reader(store, self.mod_q,
+                                                    is_x, i - 1)
+                    if isinstance(d, CrtArray):
+                        upper = stream.ram_reader(d)
+                    else:
+                        upper = stream.staged_reader(store, d)
+                    stream.stream_mix(store, ctx, lower, upper, out_tag,
+                                      length, S)
+                    if not isinstance(d, CrtArray):
+                        store.delete_staged(d, length)
+                dx, dy = out_x, out_y
+                tag_cycle ^= 1
+
+        lvt = self.levels[target]
+        lvt.x, lvt.y = hlog.materialize_planes2(st_px, st_py)
+        n_out = 1 << target
+        assert not isinstance(dx, CrtArray), "target level must be staged"
+        ax = stream.finalize_staged_level(self, dx, True, target, n_out, S)
+        ay = stream.finalize_staged_level(self, dy, False, target, n_out, S)
         ops = self.ops
-        for is_x, planes in ((True, lv.x), (False, lv.y)):
-            data = planes.data
-            if data is None:
-                continue
-            n = data.p.shape[0]
-            c = compute_align_scalars(data, self.mod_q)
-            commits = self._commit_batch(c)
+        for planes, commits in ((lvt.x, ax), (lvt.y, ay)):
             planes.points["a"] = hlog.host_point(ck.add(
-                ops, ck.to_device(planes.points["a"]), commits))
-            reduced = engine.crt_reduce_mod_p(np, hlog.host_crt(data))
-            vals = limbs.limbs_to_ints(
-                np.asarray(reduced.p).reshape(-1, limbs.NLIMBS))
-            for i in range(n):
-                self.store.write_code_256(
-                    is_x, level, i,
-                    vals[i * NUM_CHUNKS:(i + 1) * NUM_CHUNKS])
-            planes.data = None
-        lv.file_backed = True
+                ops, ck.to_device(planes.points["a"]),
+                ck.to_device(commits)))
+        lvt.empty = False
+        lvt.file_backed = True
+        for i in range(target):
+            self.levels[i].x = Planes()
+            self.levels[i].y = Planes()
+            self.levels[i].empty = True
+            self.levels[i].file_backed = False
 
-    def _materialize_level(self, level: int) -> None:
-        """Load a file-backed level's data planes back into memory."""
-        lv = self.levels[level]
-        if not lv.file_backed or lv.empty:
-            return
-        for is_x, planes in ((True, lv.x), (False, lv.y)):
-            n = planes.points["c"].x.shape[0]
-            vals = []
-            for i in range(n):
-                vals.extend(self.store.read_code_256(is_x, level, i))
-            arr = limbs.ints_to_limbs(vals)
-            arr = arr.reshape(n, NUM_CHUNKS, limbs.NLIMBS)
-            planes.data = CrtArray(arr, arr)  # values < p: both lanes equal
-        lv.file_backed = False
-
-    def _read_file_block(self, level: int, is_x: bool, index: int) -> CrtArray:
-        vals = self.store.read_code_256(is_x, level, index)
-        arr = limbs.ints_to_limbs(vals)
-        return CrtArray(arr, arr)
+    def _msm_sharded(self, pts: JacPoint, coeffs: list) -> JacPoint:
+        """DP audit-combination MSM over the mesh (Server.hpp:831-848).
+        Pads the point axis to a multiple of the "blocks" shard count
+        with zero-scalar lanes (identity contributions)."""
+        import jax.numpy as jnp
+        dp = self._mesh.shape["blocks"]
+        n = pts.x.shape[0]
+        npad = -(-n // dp) * dp
+        sc = limbs.ints_to_limbs(list(coeffs) + [0] * (npad - n))
+        if npad > n:
+            pad = lambda a: np.concatenate(  # noqa: E731
+                [np.asarray(a)] + [np.asarray(a)[:1]] * (npad - n), 0)
+            pts = JacPoint(pad(pts.x), pad(pts.y), pad(pts.z))
+        out = self._sh_msm32(jnp.asarray(pts.x), jnp.asarray(pts.y),
+                             jnp.asarray(pts.z), jnp.asarray(sc))
+        return JacPoint(out[0], out[1], out[2])  # (1, 16) components
 
     def _align(self, data: CrtArray, acc: JacPoint):
         """align_MAC (Server.hpp:478-562): acc += commit((A mod p) - A);
@@ -390,16 +526,35 @@ class PorlaServer:
         commit = self._commit_batch(c)
         new_acc = hlog.host_point(
             ck.add(self.ops, ck.to_device(acc), commit))
-        return new_acc, engine.crt_reduce_mod_p(np, data)
+        return new_acc, engine.crt_reduce_mod_p(np, data, self.mod_q)
 
     def _commit_batch(self, scalars) -> JacPoint:
         """Commit a (B, NUM_CHUNKS, 16) scalar batch: Pedersen MSM over the
         IPA generators, or the SRS MSM for KZG (compute_digest_from_srs,
         main.go:103-116)."""
+        gens = (self.generators if self.config.scheme == "ipa"
+                else self.srs.g1_dev)
+        if self._mesh is not None:
+            return self._commit_batch_sharded(gens, scalars)
         if self.config.scheme == "ipa":
-            return pedersen.commit_blocks(self.generators, scalars)
-        return pedersen.commit_blocks(self.srs.g1_dev, scalars,
-                                      ops=self.ops)
+            return pedersen.commit_blocks(gens, scalars)
+        return pedersen.commit_blocks(gens, scalars, ops=self.ops)
+
+    def _commit_batch_sharded(self, gens: JacPoint, scalars) -> JacPoint:
+        """TP-over-chunks / DP-over-blocks commitment MSM (the multi-chip
+        form of the 8-thread commitment splits, Server.hpp:330-361)."""
+        import jax.numpy as jnp
+        sc = np.asarray(scalars, np.uint32)
+        B, ng = sc.shape[0], sc.shape[1]
+        dp = self._mesh.shape["blocks"]
+        Bp = -(-B // dp) * dp
+        if Bp > B:
+            sc = np.concatenate(
+                [sc, np.zeros((Bp - B, ng, sc.shape[2]), np.uint32)], 0)
+        out = self._sh_commit(jnp.asarray(gens.x)[:ng],
+                              jnp.asarray(gens.y)[:ng],
+                              jnp.asarray(gens.z)[:ng], jnp.asarray(sc))
+        return JacPoint(out[0][:B], out[1][:B], out[2][:B])
 
     # ---------------------------------------------------------------- audit
 
@@ -414,19 +569,36 @@ class PorlaServer:
         blocks_p, blocks_q, coeffs = [], [], []
         ptc, pta = [], []
         with trace.span("server.audit.gather", samples=len(plan.samples)):
-            for s in plan.samples:
+            # one threaded batch read per file-backed (level, side) group
+            # (the reference's 8-thread shuffled audit reads,
+            # Server.hpp:742-776)
+            groups: dict = {}
+            for si, s in enumerate(plan.samples):
+                lv = self.levels[s.level]
+                planes = lv.x if s.is_x else lv.y
+                if planes.data is None:
+                    assert lv.file_backed, (
+                        f"audited level {s.level} empty "
+                        f"(write_step {self.write_step})")
+                    groups.setdefault((s.level, s.is_x), []).append(
+                        (si, s.index))
+            file_rows: dict = {}
+            for (level, is_x), items in groups.items():
+                arr = self.store.read_codes_256(
+                    is_x, level, [ix for _, ix in items])
+                ql = engine.q_lane_from_p(np, arr, self.mod_q)
+                for k, (si, _) in enumerate(items):
+                    file_rows[si] = (arr[k], ql[k])
+            for si, s in enumerate(plan.samples):
                 lv = self.levels[s.level]
                 planes = lv.x if s.is_x else lv.y
                 if planes.data is not None:
                     blocks_p.append(np.asarray(planes.data.p)[s.index])
                     blocks_q.append(np.asarray(planes.data.q)[s.index])
                 else:
-                    assert lv.file_backed, (
-                        f"audited level {s.level} empty "
-                        f"(write_step {self.write_step})")
-                    arr = self._read_file_block(s.level, s.is_x, s.index)
-                    blocks_p.append(arr.p)
-                    blocks_q.append(arr.q)
+                    rp, rq = file_rows[si]
+                    blocks_p.append(rp)
+                    blocks_q.append(rq)
                 coeffs.append(s.coeff)
                 for bag, name in ((ptc, "c"), (pta, "a")):
                     pts = planes.points[name]
@@ -451,7 +623,10 @@ class PorlaServer:
             # over the stacked point set, reduced per half
             both = hlog.concat_points(stack_pts(ptc), stack_pts(pta))
             from porla_tpu.curves import pallas_curve
-            if pallas_curve.use_pallas():
+            if self._mesh is not None:
+                combined_mac_j = self._msm_sharded(stack_pts(ptc), coeffs)
+                combined_align_j = self._msm_sharded(stack_pts(pta), coeffs)
+            elif pallas_curve.use_pallas():
                 parts = pallas_curve.scalar_mul(
                     ops, both, coeff_limbs, nbits=32, keep_pad=True)
                 half = len(coeffs)
@@ -519,7 +694,3 @@ def compute_align_scalars(data: CrtArray, mod_q) -> np.ndarray:
     return np.asarray(engine.align_scalars(np, hlog.host_crt(data), mod_q))
 
 
-def _set_row(arr, i: int, row) -> np.ndarray:
-    out = np.asarray(arr).copy()
-    out[i] = np.asarray(row)
-    return out
