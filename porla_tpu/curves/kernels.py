@@ -108,12 +108,26 @@ def tree_sum(ops: CurveOps, p: JacPoint) -> JacPoint:
     return JacPoint(*_tree_sum_fn(ops)(p.x, p.y, p.z))
 
 
+# Above this point count, route variable-base MSMs to the Pippenger
+# bucket kernel; below it the windowed per-point path wins (its per-lane
+# cost is ~5 ops/window vs Pippenger's fixed ~30-add bucket fold per
+# window). The reference's analogous policy is Strauss<88/Pippenger>=88 +
+# a bucket-window table (ecmult_impl.h:55, 573-597); this value was
+# measured on the v5e chip (see MSM_r02.json sweep).
+PIPPENGER_CROSSOVER = int(
+    __import__("os").environ.get("PORLA_PIP_CROSSOVER", "4096"))
+
+
 def msm(ops: CurveOps, points: JacPoint, scalars, nbits: int = 256) -> JacPoint:
     """sum_i scalars[i]*points[i] over the leading axis -> batch-(1,) point.
 
     Padded lanes contribute the identity (zero scalar * infinity)."""
     from porla_tpu.curves import pallas_curve
     if pallas_curve.use_pallas() and points.x.ndim == 2:
+        if points.x.shape[0] >= PIPPENGER_CROSSOVER:
+            from porla_tpu.curves import pallas_msm
+            return pallas_msm.pippenger_msm(
+                ops, to_host(points), np.asarray(scalars), nbits)
         # keep_pad: the reduction shape stays one-per-128-lane-bucket, so
         # varying audit sample counts reuse one tree_sum executable
         parts = pallas_curve.scalar_mul(ops, points, np.asarray(scalars),

@@ -70,7 +70,13 @@ def _pip_kernel(steps, px, py, pz, dig,
             bx[d], by[d], bz[d] = inf
 
     pt = (px[0], py[0], pz[0])
-    digit = dig[0, 0:1]                       # (1, bt)
+    # dig block holds 8 digit rows (k//8 block index); row k%8 is selected
+    # with a branchless iota mask-sum — Mosaic supports neither (1,1,bt)
+    # blocks (tiling rule) nor dynamic sublane slices (compiler assert)
+    sub = dig[0].astype(jnp.int32)            # (8, bt); Mosaic has no
+    rowid = jax.lax.broadcasted_iota(jnp.int32, sub.shape, 0)  # u32 sums
+    digit = jnp.sum(jnp.where(rowid == k % 8, sub, 0),
+                    axis=0)[None].astype(jnp.uint32)           # (1, bt)
     cur = _bucket_sel(bx[:], by[:], bz[:], digit)
     new = pc._p_add(cur, pt, tabs)            # ONE add per (point, window)
     for d in range(1, 16):                    # digit 0 -> discard
@@ -80,24 +86,23 @@ def _pip_kernel(steps, px, py, pz, dig,
         bz[d] = jnp.where(m, new[2], bz[d])
 
     @pl.when(k == steps - 1)
-    def _aggregate():
-        # sum_d d * B_d = suffix-run accumulation (ecmult_impl.h:700-714)
-        run, acc = inf, inf
-        for d in range(15, 0, -1):
-            run = pc._p_add(run, (bx[d], by[d], bz[d]), tabs)
-            acc = pc._p_add(acc, run, tabs)
-        ox[0], oy[0], oz[0] = acc
+    def _flush():
+        # emit the raw buckets; the suffix-run fold (sum_d d*B_d,
+        # ecmult_impl.h:700-714) runs in the jitted XLA reduce — 30
+        # chained in-kernel point adds made the Mosaic program
+        # pathologically large to compile
+        ox[0], oy[0], oz[0] = bx[:], by[:], bz[:]
 
 
 @lru_cache(maxsize=None)
 def _pip_call(nwin: int, steps: int, bt: int, interpret: bool):
     pspec = pl.BlockSpec((1, ND, bt), lambda w, k: (k, 0, 0),
                          memory_space=pltpu.VMEM)
-    dspec = pl.BlockSpec((1, 1, bt), lambda w, k: (w, k, 0),
+    dspec = pl.BlockSpec((1, 8, bt), lambda w, k: (w, k // 8, 0),
                          memory_space=pltpu.VMEM)
-    ospec = pl.BlockSpec((1, ND, bt), lambda w, k: (w, 0, 0),
+    ospec = pl.BlockSpec((1, 16, ND, bt), lambda w, k: (w, 0, 0, 0),
                          memory_space=pltpu.VMEM)
-    out = jax.ShapeDtypeStruct((nwin, ND, bt), jnp.uint32)
+    out = jax.ShapeDtypeStruct((nwin, 16, ND, bt), jnp.uint32)
     scratch = [pltpu.VMEM((16, ND, bt), jnp.uint32)] * 3
     return jax.jit(pl.pallas_call(
         partial(_pip_kernel, steps),
@@ -112,24 +117,52 @@ def _pip_call(nwin: int, steps: int, bt: int, interpret: bool):
 
 @lru_cache(maxsize=None)
 def _reduce_fn(ops: CurveOps, nwin: int, bt: int):
-    """(nwin, bt, 16) limb partials -> (1, 16) total, one jitted graph:
-    lane halving then MSB-first Horner over the 4-bit windows."""
+    """(nwin, 16, bt, 16) limb bucket grid -> (1, 16) total, one jitted
+    graph: suffix-run bucket fold (sum_d d*B_d, ecmult_impl.h:700-714),
+    lane halving, then MSB-first Horner over the 4-bit windows."""
+    from jax import lax
+
     @jax.jit
     def f(x, y, z):
-        p = JacPoint(x, y, z)
+        # bucket fold: run/acc suffix accumulation over d = 15..1,
+        # batched over (nwin, bt) lanes. fori_loop: the point-add body is
+        # traced ONCE (an unrolled 30-add chain of limb graphs made XLA
+        # compile time pathological)
+        def bucket_body(i, carry):
+            rx, ry, rz, ax, ay, az = carry
+            d = 14 - i
+            b = JacPoint(lax.dynamic_index_in_dim(x, d, 1, False),
+                         lax.dynamic_index_in_dim(y, d, 1, False),
+                         lax.dynamic_index_in_dim(z, d, 1, False))
+            run = ops.add(jnp, JacPoint(rx, ry, rz), b)
+            acc = ops.add(jnp, JacPoint(ax, ay, az), run)
+            return (*run, *acc)
+
+        run0 = (x[:, 15], y[:, 15], z[:, 15])
+        st = lax.fori_loop(0, 14, bucket_body, (*run0, *run0))
+        p = JacPoint(st[3], st[4], st[5])
+
         w = bt
         while w > 1:
             w //= 2
             p = ops.add(jnp, JacPoint(p.x[:, :w], p.y[:, :w], p.z[:, :w]),
                         JacPoint(p.x[:, w:2 * w], p.y[:, w:2 * w],
                                  p.z[:, w:2 * w]))
-        acc = JacPoint(p.x[nwin - 1], p.y[nwin - 1], p.z[nwin - 1])
-        for wi in range(nwin - 2, -1, -1):
+        # MSB-first Horner over windows, fori_loop again
+        def horner_body(i, carry):
+            wi = nwin - 2 - i
+            acc = JacPoint(*carry)
             for _ in range(4):
                 acc = ops.double(jnp, acc)
-            acc = ops.add(jnp, acc,
-                          JacPoint(p.x[wi], p.y[wi], p.z[wi]))
-        return acc.x, acc.y, acc.z
+            b = JacPoint(lax.dynamic_index_in_dim(p.x, wi, 0, False),
+                         lax.dynamic_index_in_dim(p.y, wi, 0, False),
+                         lax.dynamic_index_in_dim(p.z, wi, 0, False))
+            return tuple(ops.add(jnp, acc, b))
+
+        acc = lax.fori_loop(
+            0, nwin - 1, horner_body,
+            (p.x[nwin - 1], p.y[nwin - 1], p.z[nwin - 1]))
+        return acc
     return f
 
 
@@ -162,23 +195,28 @@ def pippenger_msm(ops: CurveOps, points: JacPoint, scalars,
     py = prep(points.y, rd_limbs)
     pz = prep(points.z, None)                          # zero pad = infinity
 
-    # (nwin, steps, bt) LSB-first 4-bit windows
+    # (nwin, steps8, bt) LSB-first 4-bit windows; the steps axis is padded
+    # to a multiple of 8 for the (1, 8, bt) digit blocks (padding rows are
+    # never visited — the grid stops at `steps`)
     sd = np.asarray(mxu.digits_from_limbs(np, pc._pad_to(
         np.asarray(scalars, np.uint32), npad)))        # (npad, 32)
     dig = np.empty((nwin, npad), np.uint32)
     for w in range(nwin):
         byte = sd[:, w // 2]
         dig[w] = (byte >> 4) & 0xF if w % 2 else byte & 0xF
-    dig = jnp.asarray(np.ascontiguousarray(
-        dig.reshape(nwin, steps, bt)))
+    steps8 = -(-steps // 8) * 8
+    dig3 = np.zeros((nwin, steps8, bt), np.uint32)
+    dig3[:, :steps] = dig.reshape(nwin, steps, bt)
+    dig = jnp.asarray(dig3)
 
     fn = _pip_call(nwin, steps, bt, interpret)
     tabs = pc._curve_tables(ops.fp)
     sx, sy, sz = fn(px, py, pz, dig, *(jnp.asarray(t) for t in tabs))
 
-    # digit tiles -> (nwin, bt, 16) limbs, then the jitted reduce
-    lx = mxu.limbs_from_digits(jnp, jnp.moveaxis(sx, 1, 2))
-    ly = mxu.limbs_from_digits(jnp, jnp.moveaxis(sy, 1, 2))
-    lz = mxu.limbs_from_digits(jnp, jnp.moveaxis(sz, 1, 2))
+    # (nwin, 16, ND, bt) digit tiles -> (nwin, 16, bt, 16) limbs, then
+    # the jitted bucket-fold + reduce
+    lx = mxu.limbs_from_digits(jnp, jnp.moveaxis(sx, 2, 3))
+    ly = mxu.limbs_from_digits(jnp, jnp.moveaxis(sy, 2, 3))
+    lz = mxu.limbs_from_digits(jnp, jnp.moveaxis(sz, 2, 3))
     x, y, z = _reduce_fn(ops, nwin, bt)(lx, ly, lz)
     return JacPoint(x[None], y[None], z[None])
