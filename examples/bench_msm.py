@@ -29,6 +29,8 @@ def main():
     ap.add_argument("--bases", type=int, default=8)
     ap.add_argument("--windowed", action="store_true",
                     help="also time the windowed double-and-add MSM")
+    ap.add_argument("--curve", choices=["secp256k1", "bn254"],
+                    default="secp256k1")
     args = ap.parse_args()
 
     import jax
@@ -37,12 +39,12 @@ def main():
 
     from porla_tpu.curves import kernels as ck
     from porla_tpu.curves import pallas_msm
-    from porla_tpu.curves.instances import secp256k1
+    from porla_tpu.curves.instances import bn254, secp256k1
     from porla_tpu.fields import limbs as L
     from porla_tpu.golden import ecc
 
     rng = random.Random(7)
-    ops = secp256k1()
+    ops = secp256k1() if args.curve == "secp256k1" else bn254()
     cur = ops.curve
 
     bases = [ecc.mul(cur, cur.g, rng.randrange(1, cur.n))
@@ -57,7 +59,7 @@ def main():
 
     want = ecc.INF
     for g in range(args.bases):
-        total = sum(sc[g::args.bases][k] for k in range(reps)) % cur.n
+        total = sum(sc[g::args.bases]) % cur.n
         want = ecc.add(cur, want, ecc.mul(cur, bases[g], total))
 
     def run_pip():

@@ -1,0 +1,163 @@
+"""On-chip known-answer sweep: the Pallas kernels vs exact golden models
+ON REAL HARDWARE (Mosaic lowering, not interpret mode), recorded as a
+JSON artifact so per-round hardware bit-exactness is a recorded fact.
+
+Covers: fused windowed scalar-mul (both curves), MAC-mirror point
+butterfly, fixed-base table scalar-mul, Pippenger bucket MSM, the fused
+constant-geometry NTT stage pipeline, and the reference-vector MSM
+(tests/vectors provenance: the vendored reference C code).
+
+  env PYTHONPATH=/root/repo:/root/.axon_site \
+    JAX_COMPILATION_CACHE_DIR=/root/.jax_cache \
+    python examples/kat_onchip.py --out KAT_r02.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import random
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.expanduser("~/.jax_cache"))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="KAT_r02.json")
+    args = ap.parse_args()
+
+    import jax
+    import numpy as np
+
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+
+    from porla_tpu.curves import kernels as ck
+    from porla_tpu.curves import pallas_curve, pallas_msm
+    from porla_tpu.curves.instances import bn254, secp256k1
+    from porla_tpu.fields import limbs as L
+    from porla_tpu.golden import ecc
+
+    rng = random.Random(99)
+    results = {}
+
+    def record(name, fn):
+        t0 = time.time()
+        try:
+            fn()
+            results[name] = {"pass": True, "s": round(time.time() - t0, 1)}
+        except Exception as e:  # noqa: BLE001 — artifact must record fails
+            results[name] = {"pass": False, "err": repr(e)[:200],
+                             "s": round(time.time() - t0, 1)}
+        print(f"{name}: {results[name]}", flush=True)
+
+    def rand_pts(ops, k):
+        cur = ops.curve
+        return [ecc.mul(cur, cur.g, rng.randrange(1, cur.n))
+                for _ in range(k)]
+
+    # fused windowed scalar-mul, 256-bit, both curves, edge cases
+    def kat_smul(ops):
+        def f():
+            cur = ops.curve
+            pts = rand_pts(ops, 5) + [ecc.INF, cur.g, cur.g]
+            sc = ([rng.randrange(cur.n) for _ in range(5)]
+                  + [7, 0, cur.n - 1])
+            out = pallas_curve.scalar_mul(
+                ops, ops.from_affine(np, pts), L.ints_to_limbs(sc),
+                nbits=256)
+            got = ops.to_affine(ck.to_host(out))
+            assert got == [ecc.mul(cur, p, s) for p, s in zip(pts, sc)]
+        return f
+
+    record("pallas_scalar_mul_secp256k1", kat_smul(secp256k1()))
+    record("pallas_scalar_mul_bn254", kat_smul(bn254()))
+
+    # MAC-mirror butterfly M0 +/- s*M1
+    def kat_butterfly():
+        ops = secp256k1()
+        cur = ops.curve
+        m0 = rand_pts(ops, 6) + [ecc.INF, cur.g]
+        m1 = rand_pts(ops, 7) + [ecc.INF]
+        sc = [rng.randrange(cur.n) for _ in range(8)]
+        hi, lo = pallas_curve.point_butterfly(
+            ops, ops.from_affine(np, m0), ops.from_affine(np, m1),
+            L.ints_to_limbs(sc))
+        ghi = ops.to_affine(ck.to_host(hi))
+        glo = ops.to_affine(ck.to_host(lo))
+        for a, b, s, h, l in zip(m0, m1, sc, ghi, glo):
+            t = ecc.mul(cur, b, s)
+            assert h == ecc.add(cur, a, t)
+            assert l == ecc.add(cur, a, ecc.neg(cur, t))
+
+    record("pallas_point_butterfly", kat_butterfly)
+
+    # fixed-base windowed-table scalar mul (commitment fast path)
+    def kat_fb():
+        ops = secp256k1()
+        cur = ops.curve
+        gens = rand_pts(ops, 4)
+        tbl = pallas_curve.fb_table_for(ops, ops.from_affine(np, gens))
+        sc = [rng.randrange(cur.n) for _ in range(3)] + [0]
+        out = pallas_curve.fb_scalar_mul(tbl, L.ints_to_limbs(sc))
+        got = ops.to_affine(ck.to_host(out))[:4]
+        assert got == [ecc.mul(cur, g, s) for g, s in zip(gens, sc)]
+
+    record("pallas_fixed_base", kat_fb)
+
+    # Pippenger bucket MSM vs reference-derived vectors where available
+    def kat_pip():
+        ops = secp256k1()
+        cur = ops.curve
+        vec = os.path.join(os.path.dirname(__file__), "..", "tests",
+                           "vectors", "secp256k1_kat.json")
+        with open(vec) as f:
+            kat = json.load(f)
+        from porla_tpu.crypto import testrand
+        gens, _ = testrand.derive_ipa_generators(128)
+        case = kat["ecmult_multi"][1]  # Pippenger regime, n=300
+        n = case["n"]
+        pts = ops.from_affine(np, [gens[i % 128] for i in range(n)])
+        sc = [((i + 1) * 0x9E3779B97F4A7C15) & ((1 << 64) - 1)
+              for i in range(n)]
+        out = pallas_msm.pippenger_msm(ops, pts, L.ints_to_limbs(sc),
+                                       nbits=64, interpret=False)
+        got = ops.to_affine(ck.to_host(out))[0]
+        assert got == (int(case["result"][0], 16),
+                       int(case["result"][1], 16))
+
+    record("pallas_pippenger_vs_reference_C", kat_pip)
+
+    # fused constant-geometry NTT stage pipeline vs the exact stage loop
+    def kat_ntt():
+        import jax.numpy as jnp
+
+        from porla_tpu.ntt import engine
+        from porla_tpu.protocol import compute
+
+        n, C = 64, 8
+        ctx = engine.NttContext(n, "ipa")
+        arr = np.random.default_rng(3).integers(
+            0, 1 << 16, (n, C, 16), dtype=np.uint32)
+        got = compute.encode_crt(ctx.mod_q, ctx,
+                                 engine.CrtArray(arr, arr))
+        want = engine.encode_stages(np, ctx, engine.CrtArray(arr, arr))
+        assert np.array_equal(np.asarray(got.p), want.p)
+        assert np.array_equal(np.asarray(got.q), want.q)
+
+    record("pallas_ntt_encode", kat_ntt)
+
+    import jax as _jax
+    out = {"backend": _jax.default_backend(),
+           "device": str(_jax.devices()[0]),
+           "all_pass": all(r["pass"] for r in results.values()),
+           "kats": results}
+    print(json.dumps(out))
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=1)
+
+
+if __name__ == "__main__":
+    main()

@@ -104,10 +104,66 @@ def _pip_call(nwin: int, steps: int, bt: int, interpret: bool):
                          memory_space=pltpu.VMEM)
     out = jax.ShapeDtypeStruct((nwin, 16, ND, bt), jnp.uint32)
     scratch = [pltpu.VMEM((16, ND, bt), jnp.uint32)] * 3
-    return jax.jit(pl.pallas_call(
+    call = pl.pallas_call(
         partial(_pip_kernel, steps),
         grid=(nwin, steps),
         in_specs=[pspec] * 3 + [dspec] + pc._table_specs(),
+        out_specs=(ospec,) * 3,
+        out_shape=(out,) * 3,
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )
+
+    # operands are byte digits: ship them host->HBM as u8 (4x less
+    # tunnel/PCIe traffic at 2^20) and widen on device
+    @jax.jit
+    def f(px8, py8, pz8, dig8, *tabs):
+        return call(px8.astype(jnp.uint32), py8.astype(jnp.uint32),
+                    pz8.astype(jnp.uint32), dig8.astype(jnp.uint32),
+                    *tabs)
+    return f
+
+
+def _fold_kernel(px, py, pz, mN__ref, mN_ref, nd_ref, rd_ref,
+                 ox, oy, oz, rx, ry, rz, ax, ay, az):
+    """Suffix-run bucket fold sum_d d*B_d (ecmult_impl.h:700-714) as its
+    own tiny Pallas kernel: grid (nwin, 15) walks d = 15..1 with TWO
+    point-add instances in the program (run += B_d; acc += run) — an
+    unrolled in-kernel chain or an XLA limb-path fold are 10-40x slower
+    to compile / execute respectively."""
+    k = pl.program_id(1)
+    tabs = (mN__ref[:], mN_ref[:], nd_ref[:], rd_ref[:])
+    tile = (px[0, 0], py[0, 0], pz[0, 0])
+
+    @pl.when(k == 0)
+    def _init():
+        rx[...], ry[...], rz[...] = tile
+        ax[...], ay[...], az[...] = tile
+
+    @pl.when(k > 0)
+    def _step():
+        run = pc._p_add((rx[...], ry[...], rz[...]), tile, tabs)
+        rx[...], ry[...], rz[...] = run
+        acc = pc._p_add((ax[...], ay[...], az[...]), run, tabs)
+        ax[...], ay[...], az[...] = acc
+
+    @pl.when(k == 14)
+    def _out():
+        ox[0], oy[0], oz[0] = ax[...], ay[...], az[...]
+
+
+@lru_cache(maxsize=None)
+def _fold_call(nwin: int, bt: int, interpret: bool):
+    bspec = pl.BlockSpec((1, 1, ND, bt), lambda w, k: (w, 15 - k, 0, 0),
+                         memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((1, ND, bt), lambda w, k: (w, 0, 0),
+                         memory_space=pltpu.VMEM)
+    out = jax.ShapeDtypeStruct((nwin, ND, bt), jnp.uint32)
+    scratch = [pltpu.VMEM((ND, bt), jnp.uint32)] * 6
+    return jax.jit(pl.pallas_call(
+        _fold_kernel,
+        grid=(nwin, 15),
+        in_specs=[bspec] * 3 + pc._table_specs(),
         out_specs=(ospec,) * 3,
         out_shape=(out,) * 3,
         scratch_shapes=scratch,
@@ -117,52 +173,22 @@ def _pip_call(nwin: int, steps: int, bt: int, interpret: bool):
 
 @lru_cache(maxsize=None)
 def _reduce_fn(ops: CurveOps, nwin: int, bt: int):
-    """(nwin, 16, bt, 16) limb bucket grid -> (1, 16) total, one jitted
-    graph: suffix-run bucket fold (sum_d d*B_d, ecmult_impl.h:700-714),
-    lane halving, then MSB-first Horner over the 4-bit windows."""
-    from jax import lax
-
+    """(nwin, bt, 16) folded per-window lane partials -> (nwin, 16)
+    window totals: log2(bt) lane-halving adds."""
     @jax.jit
     def f(x, y, z):
-        # bucket fold: run/acc suffix accumulation over d = 15..1,
-        # batched over (nwin, bt) lanes. fori_loop: the point-add body is
-        # traced ONCE (an unrolled 30-add chain of limb graphs made XLA
-        # compile time pathological)
-        def bucket_body(i, carry):
-            rx, ry, rz, ax, ay, az = carry
-            d = 14 - i
-            b = JacPoint(lax.dynamic_index_in_dim(x, d, 1, False),
-                         lax.dynamic_index_in_dim(y, d, 1, False),
-                         lax.dynamic_index_in_dim(z, d, 1, False))
-            run = ops.add(jnp, JacPoint(rx, ry, rz), b)
-            acc = ops.add(jnp, JacPoint(ax, ay, az), run)
-            return (*run, *acc)
-
-        run0 = (x[:, 15], y[:, 15], z[:, 15])
-        st = lax.fori_loop(0, 14, bucket_body, (*run0, *run0))
-        p = JacPoint(st[3], st[4], st[5])
-
+        p = JacPoint(x, y, z)
         w = bt
         while w > 1:
             w //= 2
             p = ops.add(jnp, JacPoint(p.x[:, :w], p.y[:, :w], p.z[:, :w]),
                         JacPoint(p.x[:, w:2 * w], p.y[:, w:2 * w],
                                  p.z[:, w:2 * w]))
-        # MSB-first Horner over windows, fori_loop again
-        def horner_body(i, carry):
-            wi = nwin - 2 - i
-            acc = JacPoint(*carry)
-            for _ in range(4):
-                acc = ops.double(jnp, acc)
-            b = JacPoint(lax.dynamic_index_in_dim(p.x, wi, 0, False),
-                         lax.dynamic_index_in_dim(p.y, wi, 0, False),
-                         lax.dynamic_index_in_dim(p.z, wi, 0, False))
-            return tuple(ops.add(jnp, acc, b))
-
-        acc = lax.fori_loop(
-            0, nwin - 1, horner_body,
-            (p.x[nwin - 1], p.y[nwin - 1], p.z[nwin - 1]))
-        return acc
+        # per-window totals; the 4-bit Horner over windows runs on the
+        # HOST (chained tiny point ops on (1,16) tensors cost ~35 ms
+        # each as a device loop — seconds of fixed latency vs ~10 ms of
+        # exact host bigint arithmetic)
+        return p.x[:, 0], p.y[:, 0], p.z[:, 0]
     return f
 
 
@@ -181,12 +207,13 @@ def pippenger_msm(ops: CurveOps, points: JacPoint, scalars,
     npad = steps * bt
     nwin = nbits // 4
 
-    # (steps, ND, bt) digit tiles per coordinate, infinity padding
+    # (steps, ND, bt) digit tiles per coordinate, infinity padding,
+    # shipped as u8
     def prep(c, fill):
         c = pc._pad_to(np.asarray(c), npad)
         if fill is not None and npad > N:
             c[N:] = fill
-        d = np.asarray(mxu.digits_from_limbs(np, c))   # (npad, 32)
+        d = np.asarray(mxu.digits_from_limbs(np, c)).astype(np.uint8)
         return jnp.asarray(np.ascontiguousarray(
             d.reshape(steps, bt, ND).transpose(0, 2, 1)))
 
@@ -200,23 +227,39 @@ def pippenger_msm(ops: CurveOps, points: JacPoint, scalars,
     # never visited — the grid stops at `steps`)
     sd = np.asarray(mxu.digits_from_limbs(np, pc._pad_to(
         np.asarray(scalars, np.uint32), npad)))        # (npad, 32)
-    dig = np.empty((nwin, npad), np.uint32)
+    dig = np.empty((nwin, npad), np.uint8)
     for w in range(nwin):
-        byte = sd[:, w // 2]
+        byte = sd[:, w // 2].astype(np.uint8)
         dig[w] = (byte >> 4) & 0xF if w % 2 else byte & 0xF
     steps8 = -(-steps // 8) * 8
-    dig3 = np.zeros((nwin, steps8, bt), np.uint32)
-    dig3[:, :steps] = dig.reshape(nwin, steps, bt)
+    if steps8 == steps:
+        dig3 = dig.reshape(nwin, steps, bt)
+    else:
+        dig3 = np.zeros((nwin, steps8, bt), np.uint8)
+        dig3[:, :steps] = dig.reshape(nwin, steps, bt)
     dig = jnp.asarray(dig3)
 
     fn = _pip_call(nwin, steps, bt, interpret)
     tabs = pc._curve_tables(ops.fp)
     sx, sy, sz = fn(px, py, pz, dig, *(jnp.asarray(t) for t in tabs))
 
-    # (nwin, 16, ND, bt) digit tiles -> (nwin, 16, bt, 16) limbs, then
-    # the jitted bucket-fold + reduce
-    lx = mxu.limbs_from_digits(jnp, jnp.moveaxis(sx, 2, 3))
-    ly = mxu.limbs_from_digits(jnp, jnp.moveaxis(sy, 2, 3))
-    lz = mxu.limbs_from_digits(jnp, jnp.moveaxis(sz, 2, 3))
-    x, y, z = _reduce_fn(ops, nwin, bt)(lx, ly, lz)
-    return JacPoint(x[None], y[None], z[None])
+    # Pallas suffix-run bucket fold, then limb decode + lane halving
+    fx, fy, fz = _fold_call(nwin, bt, interpret)(
+        sx, sy, sz, *(jnp.asarray(t) for t in tabs))
+    lx = mxu.limbs_from_digits(jnp, jnp.moveaxis(fx, 1, 2))
+    ly = mxu.limbs_from_digits(jnp, jnp.moveaxis(fy, 1, 2))
+    lz = mxu.limbs_from_digits(jnp, jnp.moveaxis(fz, 1, 2))
+    wx, wy, wz = _reduce_fn(ops, nwin, bt)(lx, ly, lz)
+
+    # host Horner: total = sum_w 16^w * W_w (MSB-first, exact bigints)
+    from porla_tpu.curves import kernels as ck
+    from porla_tpu.golden import ecc
+    host = ck.fetch_many([wx, wy, wz])
+    wins = ops.to_affine(JacPoint(*host))
+    cv = ops.curve
+    acc = wins[nwin - 1]
+    for wi in range(nwin - 2, -1, -1):
+        acc = ecc.add(cv, ecc.mul(cv, acc, 16), wins[wi])
+    out = ops.from_affine(np, [acc])
+    return JacPoint(np.asarray(out.x), np.asarray(out.y),
+                    np.asarray(out.z))
