@@ -1,16 +1,23 @@
-"""Single-chip benchmark: ICC/NTT erasure-encode throughput.
+"""Single-chip benchmark: ICC/NTT erasure-encode + Pippenger MSM.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints one JSON line per metric: {"metric", "value", "unit",
+"vs_baseline"}. The LAST line is the BASELINE.json primary metric (MSM
+points/sec/chip, BN254, 2^20).
 
-The measured op is the compute core of the protocol's hot loop
-(CRebuild): all radix-2 NTT stages over a (n, 128-chunk) block array in
-both CRT lanes (mod p and mod q), i.e. one full codeword build. Metric =
-encoded 256-bit coefficients per second (n * 128 / t).
+Metrics:
+- icc_encode_coeffs_per_s: all radix-2 NTT stages over a (n, 128-chunk)
+  block array in both CRT lanes (mod p and mod q) — one full codeword
+  build, the compute core of the protocol's hot loop (CRebuild).
+- msm_points_per_s_{secp256k1,bn254}: 2^20-point 256-bit variable-base
+  MSM through the blinded Pippenger bucket kernel (the audit-combine /
+  KZG-commit hot op; reference porla/main.go:118-138,
+  porla/Utils/secp256k1_lib/ecmult_impl.h:814-861). Each run is
+  verified against the exact golden model before timing.
 
-vs_baseline compares against an estimate of the reference's 8-thread CPU
-CRebuild throughput (see BENCH_NOTES.md for the derivation):
-~1 microsecond per 512-bit chunk-butterfly (NTL mul + two mod-LCM
-reductions), 8 threads -> ~1.2e6 coeffs/s at n = 2^14.
+vs_baseline compares against estimates of the reference's 8-thread CPU
+throughput for the same op (see BENCH_NOTES.md for derivations). MSM
+runs are skipped on the CPU fallback path (interpret-mode kernels are
+not a measurement).
 """
 
 from __future__ import annotations
@@ -81,6 +88,61 @@ import numpy as np  # noqa: E402
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
 REFERENCE_CPU_COEFFS_PER_S = 1.2e6  # estimated; BENCH_NOTES.md
+# 8-thread CPU Pippenger estimates at 2^20 (BENCH_NOTES.md "MSM baseline
+# denominators"): libsecp256k1 ecmult_multi ~1.0e6 pts/s; gnark-crypto
+# BN254 MultiExp (ADX asm) ~2.0e6 pts/s
+REFERENCE_CPU_MSM_PTS_PER_S = {"secp256k1": 1.0e6, "bn254": 2.0e6}
+
+
+def bench_msm(curve_name: str, n: int = 1 << 20) -> dict:
+    import random
+
+    import numpy as np
+
+    from porla_tpu.curves import pallas_msm
+    from porla_tpu.curves.instances import bn254, secp256k1
+    from porla_tpu.curves.weierstrass import JacPoint
+    from porla_tpu.fields import limbs as L
+    from porla_tpu.golden import ecc
+
+    rng = random.Random(7)
+    ops = secp256k1() if curve_name == "secp256k1" else bn254()
+    cur = ops.curve
+    nbases = 8  # tiled distinct bases keep the golden check O(n) host ints
+    bases = [ecc.mul(cur, cur.g, rng.randrange(1, cur.n))
+             for _ in range(nbases)]
+    sc = [rng.getrandbits(256) % cur.n for _ in range(n)]
+    ph = ops.from_affine(np, bases)
+    reps = n // nbases
+    points = JacPoint(np.tile(ph.x, (reps, 1)), np.tile(ph.y, (reps, 1)),
+                      np.tile(ph.z, (reps, 1)))
+    sc_limbs = L.ints_to_limbs(sc)
+    want = ecc.INF
+    for g in range(nbases):
+        total = sum(sc[g::nbases]) % cur.n
+        want = ecc.add(cur, want, ecc.mul(cur, bases[g], total))
+
+    def run():
+        out = pallas_msm.pippenger_msm(ops, points, sc_limbs)
+        return ops.to_affine(out)[0]
+
+    got = run()  # compile + warm
+    assert got == want, f"MSM mismatch vs golden ({curve_name})"
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run()
+        times.append(time.perf_counter() - t0)
+    t = min(times)
+    c = pallas_msm.choose_c(n)
+    return {
+        "metric": f"msm_points_per_s_{curve_name}",
+        "value": round(n / t, 1),
+        "unit": f"pts/s (N=2^20, 256-bit scalars, Pippenger c={c}, "
+                f"{jax.default_backend()})",
+        "vs_baseline": round(
+            n / t / REFERENCE_CPU_MSM_PTS_PER_S[curve_name], 3),
+    }
 
 
 def main():
@@ -147,7 +209,12 @@ def main():
         # it as a ratio against the per-chip baseline
         out["fallback"] = True
         out["vs_baseline"] = None
-    print(json.dumps(out))
+        print(json.dumps(out))
+        return
+    # MSM metrics; BN254 last = the BASELINE.json primary metric
+    print(json.dumps(out), flush=True)
+    print(json.dumps(bench_msm("secp256k1")), flush=True)
+    print(json.dumps(bench_msm("bn254")), flush=True)
 
 
 if __name__ == "__main__":

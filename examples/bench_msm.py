@@ -31,6 +31,11 @@ def main():
                     help="also time the windowed double-and-add MSM")
     ap.add_argument("--curve", choices=["secp256k1", "bn254"],
                     default="secp256k1")
+    ap.add_argument("--c", type=int, default=None,
+                    help="window width (default: choose_c policy)")
+    ap.add_argument("--bt", type=int, default=None, help="lane tile width")
+    ap.add_argument("--json", default=None,
+                    help="append a JSON result line to this file")
     args = ap.parse_args()
 
     import jax
@@ -64,15 +69,17 @@ def main():
 
     def run_pip():
         out = pallas_msm.pippenger_msm(ops, points, sc_limbs,
-                                       nbits=args.nbits)
+                                       nbits=args.nbits, c=args.c,
+                                       bt=args.bt)
         return ops.to_affine(ck.to_host(out))[0]
 
+    c_used = args.c or pallas_msm.choose_c(args.n, args.nbits)
     t0 = time.perf_counter()
     got = run_pip()
     t_cold = time.perf_counter() - t0
     assert got == want, "pippenger mismatch vs golden"
-    print(f"pippenger N={args.n}: cold {t_cold:.2f}s (compile+run), "
-          f"correct", flush=True)
+    print(f"pippenger N={args.n} c={c_used}: cold {t_cold:.2f}s "
+          f"(compile+run), correct", flush=True)
 
     times = []
     for _ in range(3):
@@ -80,7 +87,15 @@ def main():
         run_pip()
         times.append(time.perf_counter() - t0)
     t = min(times)
-    print(f"pippenger N={args.n}: warm {t:.3f}s = {args.n / t:.3e} pts/s")
+    print(f"pippenger N={args.n} c={c_used}: warm {t:.3f}s = "
+          f"{args.n / t:.3e} pts/s")
+    if args.json:
+        import json
+        rec = {"curve": args.curve, "n": args.n, "nbits": args.nbits,
+               "c": c_used, "bt": args.bt, "warm_s": round(t, 4),
+               "pts_per_s": round(args.n / t, 1)}
+        with open(args.json, "a") as f:
+            f.write(json.dumps(rec) + "\n")
 
     if args.windowed:
         def run_win():

@@ -126,8 +126,9 @@ def msm(ops: CurveOps, points: JacPoint, scalars, nbits: int = 256) -> JacPoint:
     if pallas_curve.use_pallas() and points.x.ndim == 2:
         if points.x.shape[0] >= PIPPENGER_CROSSOVER:
             from porla_tpu.curves import pallas_msm
-            return pallas_msm.pippenger_msm(
-                ops, to_host(points), np.asarray(scalars), nbits)
+            # device-resident operands stay on device (v2 preps digits
+            # and windows on chip)
+            return pallas_msm.pippenger_msm(ops, points, scalars, nbits)
         # keep_pad: the reduction shape stays one-per-128-lane-bucket, so
         # varying audit sample counts reuse one tree_sum executable
         parts = pallas_curve.scalar_mul(ops, points, np.asarray(scalars),

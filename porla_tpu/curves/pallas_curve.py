@@ -180,6 +180,63 @@ def _p_add(p1, p2, tabs):
     return out
 
 
+def _p_add_pure(p1, p2, tabs):
+    """Raw add-2007-bl, NO case handling (16 muls). Contract: neither
+    operand is infinity and p1 != p2 (the doubling case). p1 == -p2
+    yields Z3 = 0, which IS the infinity encoding, so the inverse case
+    is handled for free. Used by the blinded Pippenger kernels
+    (pallas_msm): bucket accumulators start at secret random points, so
+    p1 == p2 happens with negligible probability and the branchless
+    doubling ladder (+8 muls) and infinity selects can be dropped."""
+    nd = tabs[2]
+    X1, Y1, Z1 = p1
+    X2, Y2, Z2 = p2
+    Z1Z1 = _f_mul(Z1, Z1, tabs)
+    Z2Z2 = _f_mul(Z2, Z2, tabs)
+    A1 = _f_mul(Y1, Z2, tabs)
+    A2 = _f_mul(Y2, Z1, tabs)
+    U1 = _f_mul(X1, Z2Z2, tabs)
+    U2 = _f_mul(X2, Z1Z1, tabs)
+    S1 = _f_mul(A1, Z2Z2, tabs)
+    S2 = _f_mul(A2, Z1Z1, tabs)
+    H = _sub_mod(U2, U1, nd)
+    R = _sub_mod(S2, S1, nd)
+    HH = _f_mul(H, H, tabs)
+    RR = _f_mul(R, R, tabs)
+    Z1Z2 = _f_mul(Z1, Z2, tabs)
+    HHH = _f_mul(H, HH, tabs)
+    V = _f_mul(U1, HH, tabs)
+    Z3 = _f_mul(Z1Z2, H, tabs)
+    X3 = _sub_mod(_sub_mod(RR, HHH, nd), _add_mod(V, V, nd), nd)
+    Y3 = _sub_mod(_f_mul(R, _sub_mod(V, X3, nd), tabs),
+                  _f_mul(S1, HHH, tabs), nd)
+    return (X3, Y3, Z3)
+
+
+def _p_madd_pure(p1, p2xy, tabs):
+    """Raw mixed add (11 muls): p2 is affine with Z2 = 1 (Montgomery R)
+    implied, given as (x, y) only. Same no-case contract as
+    _p_add_pure."""
+    nd = tabs[2]
+    X1, Y1, Z1 = p1
+    X2, Y2 = p2xy
+    Z1Z1 = _f_mul(Z1, Z1, tabs)
+    A2 = _f_mul(Y2, Z1, tabs)
+    U2 = _f_mul(X2, Z1Z1, tabs)
+    S2 = _f_mul(A2, Z1Z1, tabs)
+    H = _sub_mod(U2, X1, nd)
+    R = _sub_mod(S2, Y1, nd)
+    HH = _f_mul(H, H, tabs)
+    RR = _f_mul(R, R, tabs)
+    HHH = _f_mul(H, HH, tabs)
+    V = _f_mul(X1, HH, tabs)
+    Z3 = _f_mul(Z1, H, tabs)
+    X3 = _sub_mod(_sub_mod(RR, HHH, nd), _add_mod(V, V, nd), nd)
+    Y3 = _sub_mod(_f_mul(R, _sub_mod(V, X3, nd), tabs),
+                  _f_mul(Y1, HHH, tabs), nd)
+    return (X3, Y3, Z3)
+
+
 def _p_madd(p1, p2, tabs):
     """Mixed add: p2 is affine-or-infinity (Z2 in {0, R}), so mont-muls
     by Z2/Z2^2/Z2^3 collapse to identities — 11 field muls instead of 16.

@@ -1,33 +1,50 @@
-"""Pippenger bucket MSM as a fused Pallas kernel.
+"""Pippenger bucket MSM as fused Pallas kernels (v2: blinded buckets,
+signed windows, on-device operand prep).
 
 TPU-native equivalent of libsecp256k1's Pippenger multi-scalar
 multiplication (reference porla/Utils/secp256k1_lib/src/ecmult_impl.h:
-646-722 pippenger_batch, :814-861 ecmult_multi_var). The CPU algorithm's
-data-dependent bucket scatter becomes a lane-parallel select-accumulate:
+646-722 pippenger_batch, :814-861 ecmult_multi_var; window policy
+:55, 573-597). The CPU algorithm's data-dependent bucket scatter becomes
+a lane-parallel select-accumulate:
 
 - Lanes are independent accumulators. The N points are laid out as
   (steps, bt) lane tiles; each lane sweeps its `steps` points serially.
-- Per 4-bit window w (grid dim), every lane keeps its own 16 Jacobian
-  buckets in VMEM scratch. One step = ONE batched point add into the
-  digit-selected bucket (16-way branchless select for read and
-  writeback) — the Pippenger invariant of one group-op per
-  (point, window) pair, at bt-lane width.
-- On a window's last step the buckets fold via the standard suffix-run
-  trick (sum_d d*B_d = sum of suffix sums, 30 adds) into one point per
-  (window, lane).
-- The (nwin, bt) partial grid then reduces in ONE jitted XLA graph:
-  log2(bt) lane-halving adds + MSB-first Horner over windows
-  (4 doublings + 1 add each).
+- Scalars are split into SIGNED width-c windows (digits in
+  [-2^(c-1), 2^(c-1)], computed on device by a carry scan), so only
+  nb = 2^(c-1) buckets per lane are needed; the sign costs one cheap
+  y-negation select per step.
+- Per window w (grid dim 0), every lane keeps its nb Jacobian buckets
+  in the kernel's OUTPUT block in VMEM. One grid step = ONE batched
+  point add into the digit-selected bucket (branchless nb-way select
+  for read and writeback).
+- Buckets are initialized to BLINDING points D_s = d_s * G with secret
+  per-process scalars d_s (distinct per slot). Accumulators are then
+  never the point at infinity and never equal an incoming point except
+  with negligible probability, so the bucket add is the RAW formula --
+  11-mul mixed add for affine inputs (no branchless doubling ladder,
+  no infinity selects; vs 24 muls + selects for the fully-guarded
+  add). The known blinding contribution is subtracted exactly at the
+  end: total -= bt * (sum_w 2^cw) * (sum_s s*d_s) * G.
+- Per (window, lane) the buckets fold via the standard suffix-run
+  trick (sum_s s*B_s = sum of suffix sums) in a second tiny kernel,
+  then reduce in one jitted XLA graph: log2(bt) lane-halving adds +
+  MSB-first Horner over windows on the host (exact bigints).
 
-Cost model vs the windowed double-and-add MSM (kernels.msm): Pippenger
-does (N/bt + 30) batched point-ops per window against (N/bt) * 5 for
-windowed — it wins once N/bt >> 30, i.e. big-N MSMs (the BASELINE.json
-2^20 configs), and loses on the protocol's small audit combines (which
-stay on kernels.msm).
+All operand prep (point limb->digit tiling, signed window extraction)
+runs on device in one jitted function; the host ships u16 limbs (half
+the tunnel traffic of u32) or reuses device-resident operands as-is.
+
+Soundness note: the blinding scalars are drawn from SystemRandom per
+process (PORLA_MSM_BLIND_SEED overrides for reproducible debugging), so
+an adversary who controls the MSM inputs cannot steer an accumulator
+into the unhandled doubling case; results are exact and independent of
+the blinding values.
 """
 
 from __future__ import annotations
 
+import os
+import random
 from functools import lru_cache, partial
 
 import jax
@@ -39,98 +56,183 @@ from jax.experimental.pallas import tpu as pltpu
 from porla_tpu.curves import pallas_curve as pc
 from porla_tpu.curves.weierstrass import CurveOps, JacPoint
 from porla_tpu.fields import limbs as L
+from porla_tpu.golden import ecc
 from porla_tpu.ntt import mxu
 from porla_tpu.ntt.mxu import ND
+from porla_tpu.ntt.pallas_stage import _sub_mod
+
+_SIGN = 128  # sign flag in the packed digit (slot | sign)
 
 
-def _bucket_sel(bx, by, bz, digit):
-    """Branchless 16-way bucket read; digit (1, bt)."""
+# --- bucket-accumulate kernels ----------------------------------------------
+
+def _digit_row(dig, k):
+    """Select row k%8 of the (8, bt) digit block with a branchless
+    iota mask-sum (Mosaic supports neither (1,1,bt) blocks nor dynamic
+    sublane slices)."""
+    sub = dig.astype(jnp.int32)
+    rowid = jax.lax.broadcasted_iota(jnp.int32, sub.shape, 0)
+    return jnp.sum(jnp.where(rowid == k % 8, sub, 0), axis=0)[None]
+
+
+def _bucket_read(ox, oy, oz, slot, nb):
     out = []
-    for buf in (bx, by, bz):
-        acc = jnp.zeros_like(buf[0])
-        for d in range(16):
-            acc = acc | jnp.where(digit == np.uint32(d), buf[d],
-                                  np.uint32(0))
+    for buf in (ox, oy, oz):
+        acc = jnp.zeros_like(buf[0, 0])
+        for s in range(1, nb + 1):
+            acc = acc | jnp.where(slot == s, buf[0, s - 1], np.uint32(0))
         out.append(acc)
     return tuple(out)
 
 
-def _pip_kernel(steps, px, py, pz, dig,
-                mN__ref, mN_ref, nd_ref, rd_ref,
-                ox, oy, oz, bx, by, bz):
+def _bucket_write(ox, oy, oz, slot, new, nb):
+    for s in range(1, nb + 1):
+        m = slot == s
+        ox[0, s - 1] = jnp.where(m, new[0], ox[0, s - 1])
+        oy[0, s - 1] = jnp.where(m, new[1], oy[0, s - 1])
+        oz[0, s - 1] = jnp.where(m, new[2], oz[0, s - 1])
+
+
+def _pip_kernel(steps, nb, affine, *refs):
+    if affine:
+        (px, py, dig, dx, dy,
+         mN__r, mN_r, nd_r, rd_r, ox, oy, oz) = refs
+    else:
+        (px, py, pz, dig, dx, dy,
+         mN__r, mN_r, nd_r, rd_r, ox, oy, oz) = refs
     k = pl.program_id(1)
-    tabs = (mN__ref[:], mN_ref[:], nd_ref[:], rd_ref[:])
-    rd = tabs[3]
+    tabs = (mN__r[:], mN_r[:], nd_r[:], rd_r[:])
+    nd, rd = tabs[2], tabs[3]
     zero = px[0] & np.uint32(0)                # (ND, bt)
-    inf = (rd + zero, rd + zero, zero)
 
     @pl.when(k == 0)
     def _init():
-        for d in range(16):
-            bx[d], by[d], bz[d] = inf
+        # blinding points are affine (z = R); (ND, 1) columns broadcast
+        for s in range(nb):
+            ox[0, s] = dx[s] + zero
+            oy[0, s] = dy[s] + zero
+            oz[0, s] = rd + zero
 
-    pt = (px[0], py[0], pz[0])
-    # dig block holds 8 digit rows (k//8 block index); row k%8 is selected
-    # with a branchless iota mask-sum — Mosaic supports neither (1,1,bt)
-    # blocks (tiling rule) nor dynamic sublane slices (compiler assert)
-    sub = dig[0].astype(jnp.int32)            # (8, bt); Mosaic has no
-    rowid = jax.lax.broadcasted_iota(jnp.int32, sub.shape, 0)  # u32 sums
-    digit = jnp.sum(jnp.where(rowid == k % 8, sub, 0),
-                    axis=0)[None].astype(jnp.uint32)           # (1, bt)
-    cur = _bucket_sel(bx[:], by[:], bz[:], digit)
-    new = pc._p_add(cur, pt, tabs)            # ONE add per (point, window)
-    for d in range(1, 16):                    # digit 0 -> discard
-        m = digit == np.uint32(d)
-        bx[d] = jnp.where(m, new[0], bx[d])
-        by[d] = jnp.where(m, new[1], by[d])
-        bz[d] = jnp.where(m, new[2], bz[d])
+    v = _digit_row(dig[0], k)                  # (1, bt) i32
+    slot = (v & (_SIGN - 1)).astype(jnp.uint32)
+    sgn = v >> 7
+    cur = _bucket_read(ox, oy, oz, slot, nb)
+    yneg = _sub_mod(zero, py[0], nd)           # valid points have y != 0
+    ysel = jnp.where(sgn != 0, yneg, py[0])
+    if affine:
+        new = pc._p_madd_pure(cur, (px[0], ysel), tabs)
+    else:
+        new = pc._p_add_pure(cur, (px[0], ysel, pz[0]), tabs)
+    # slot 0 (zero digit, padding, infinity input) writes nowhere
+    _bucket_write(ox, oy, oz, slot, new, nb)
 
-    @pl.when(k == steps - 1)
-    def _flush():
-        # emit the raw buckets; the suffix-run fold (sum_d d*B_d,
-        # ecmult_impl.h:700-714) runs in the jitted XLA reduce — 30
-        # chained in-kernel point adds made the Mosaic program
-        # pathologically large to compile
-        ox[0], oy[0], oz[0] = bx[:], by[:], bz[:]
+
+def _pip_kernel_carry(steps, nb, affine, *refs):
+    """Continuation kernel for the pipelined path: bucket state arrives
+    in HBM (aliased with the output buffer) and is DMAed into the VMEM
+    output block at each window's first step — keeping it as a VMEM
+    input block would double the bucket footprint and blow the ~16 MB
+    VMEM budget. Point chunks can then stream host->HBM while earlier
+    chunks accumulate (the tunnel transfer is ~half the unpipelined
+    wall at 2^20)."""
+    if affine:
+        (px, py, dig, bxi, byi, bzi,
+         mN__r, mN_r, nd_r, rd_r, ox, oy, oz, smx, smy, smz) = refs
+    else:
+        (px, py, pz, dig, bxi, byi, bzi,
+         mN__r, mN_r, nd_r, rd_r, ox, oy, oz, smx, smy, smz) = refs
+    w = pl.program_id(0)
+    k = pl.program_id(1)
+    tabs = (mN__r[:], mN_r[:], nd_r[:], rd_r[:])
+    nd = tabs[2]
+    zero = px[0] & np.uint32(0)
+
+    @pl.when(k == 0)
+    def _init():
+        cx = pltpu.make_async_copy(bxi.at[w], ox.at[0], smx)
+        cy = pltpu.make_async_copy(byi.at[w], oy.at[0], smy)
+        cz = pltpu.make_async_copy(bzi.at[w], oz.at[0], smz)
+        cx.start()
+        cy.start()
+        cz.start()
+        cx.wait()
+        cy.wait()
+        cz.wait()
+
+    v = _digit_row(dig[0], k)
+    slot = (v & (_SIGN - 1)).astype(jnp.uint32)
+    sgn = v >> 7
+    cur = _bucket_read(ox, oy, oz, slot, nb)
+    yneg = _sub_mod(zero, py[0], nd)
+    ysel = jnp.where(sgn != 0, yneg, py[0])
+    if affine:
+        new = pc._p_madd_pure(cur, (px[0], ysel), tabs)
+    else:
+        new = pc._p_add_pure(cur, (px[0], ysel, pz[0]), tabs)
+    _bucket_write(ox, oy, oz, slot, new, nb)
 
 
 @lru_cache(maxsize=None)
-def _pip_call(nwin: int, steps: int, bt: int, interpret: bool):
+def _pip_call_carry(nwin: int, steps: int, bt: int, nb: int, affine: bool,
+                    interpret: bool):
     pspec = pl.BlockSpec((1, ND, bt), lambda w, k: (k, 0, 0),
                          memory_space=pltpu.VMEM)
     dspec = pl.BlockSpec((1, 8, bt), lambda w, k: (w, k // 8, 0),
                          memory_space=pltpu.VMEM)
-    ospec = pl.BlockSpec((1, 16, ND, bt), lambda w, k: (w, 0, 0, 0),
+    hspec = pl.BlockSpec(memory_space=pltpu.ANY)   # bucket state: HBM
+    ospec = pl.BlockSpec((1, nb, ND, bt), lambda w, k: (w, 0, 0, 0),
                          memory_space=pltpu.VMEM)
-    out = jax.ShapeDtypeStruct((nwin, 16, ND, bt), jnp.uint32)
-    scratch = [pltpu.VMEM((16, ND, bt), jnp.uint32)] * 3
-    call = pl.pallas_call(
-        partial(_pip_kernel, steps),
+    out = jax.ShapeDtypeStruct((nwin, nb, ND, bt), jnp.uint32)
+    ncoord = 2 if affine else 3
+    nin = ncoord + 1
+    return jax.jit(pl.pallas_call(
+        partial(_pip_kernel_carry, steps, nb, affine),
         grid=(nwin, steps),
-        in_specs=[pspec] * 3 + [dspec] + pc._table_specs(),
+        in_specs=[pspec] * ncoord + [dspec] + [hspec] * 3
+        + pc._table_specs(),
         out_specs=(ospec,) * 3,
         out_shape=(out,) * 3,
-        scratch_shapes=scratch,
+        input_output_aliases={nin: 0, nin + 1: 1, nin + 2: 2},
+        scratch_shapes=[pltpu.SemaphoreType.DMA] * 3,
         interpret=interpret,
-    )
-
-    # operands are byte digits: ship them host->HBM as u8 (4x less
-    # tunnel/PCIe traffic at 2^20) and widen on device
-    @jax.jit
-    def f(px8, py8, pz8, dig8, *tabs):
-        return call(px8.astype(jnp.uint32), py8.astype(jnp.uint32),
-                    pz8.astype(jnp.uint32), dig8.astype(jnp.uint32),
-                    *tabs)
-    return f
+    ))
 
 
-def _fold_kernel(px, py, pz, mN__ref, mN_ref, nd_ref, rd_ref,
+@lru_cache(maxsize=None)
+def _pip_call(nwin: int, steps: int, bt: int, nb: int, affine: bool,
+              interpret: bool):
+    pspec = pl.BlockSpec((1, ND, bt), lambda w, k: (k, 0, 0),
+                         memory_space=pltpu.VMEM)
+    dspec = pl.BlockSpec((1, 8, bt), lambda w, k: (w, k // 8, 0),
+                         memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec((nb, ND, 1), lambda w, k: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    ospec = pl.BlockSpec((1, nb, ND, bt), lambda w, k: (w, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    out = jax.ShapeDtypeStruct((nwin, nb, ND, bt), jnp.uint32)
+    ncoord = 2 if affine else 3
+    return jax.jit(pl.pallas_call(
+        partial(_pip_kernel, steps, nb, affine),
+        grid=(nwin, steps),
+        in_specs=[pspec] * ncoord + [dspec] + [bspec] * 2
+        + pc._table_specs(),
+        out_specs=(ospec,) * 3,
+        out_shape=(out,) * 3,
+        interpret=interpret,
+    ))
+
+
+# --- suffix-run bucket fold --------------------------------------------------
+
+def _fold_kernel(nb, px, py, pz, mN__ref, mN_ref, nd_ref, rd_ref,
                  ox, oy, oz, rx, ry, rz, ax, ay, az):
-    """Suffix-run bucket fold sum_d d*B_d (ecmult_impl.h:700-714) as its
-    own tiny Pallas kernel: grid (nwin, 15) walks d = 15..1 with TWO
-    point-add instances in the program (run += B_d; acc += run) — an
+    """Suffix-run bucket fold sum_s s*B_s (ecmult_impl.h:700-714) as its
+    own tiny Pallas kernel: grid (nwin, nb) walks s = nb..1 with TWO
+    point-add instances in the program (run += B_s; acc += run) — an
     unrolled in-kernel chain or an XLA limb-path fold are 10-40x slower
-    to compile / execute respectively."""
+    to compile / execute respectively. Buckets are blinded (never
+    infinity, never equal except negligibly), so the adds are the raw
+    16-mul formula."""
     k = pl.program_id(1)
     tabs = (mN__ref[:], mN_ref[:], nd_ref[:], rd_ref[:])
     tile = (px[0, 0], py[0, 0], pz[0, 0])
@@ -142,27 +244,27 @@ def _fold_kernel(px, py, pz, mN__ref, mN_ref, nd_ref, rd_ref,
 
     @pl.when(k > 0)
     def _step():
-        run = pc._p_add((rx[...], ry[...], rz[...]), tile, tabs)
+        run = pc._p_add_pure((rx[...], ry[...], rz[...]), tile, tabs)
         rx[...], ry[...], rz[...] = run
-        acc = pc._p_add((ax[...], ay[...], az[...]), run, tabs)
+        acc = pc._p_add_pure((ax[...], ay[...], az[...]), run, tabs)
         ax[...], ay[...], az[...] = acc
 
-    @pl.when(k == 14)
+    @pl.when(k == nb - 1)
     def _out():
         ox[0], oy[0], oz[0] = ax[...], ay[...], az[...]
 
 
 @lru_cache(maxsize=None)
-def _fold_call(nwin: int, bt: int, interpret: bool):
-    bspec = pl.BlockSpec((1, 1, ND, bt), lambda w, k: (w, 15 - k, 0, 0),
+def _fold_call(nwin: int, bt: int, nb: int, interpret: bool):
+    bspec = pl.BlockSpec((1, 1, ND, bt), lambda w, k: (w, nb - 1 - k, 0, 0),
                          memory_space=pltpu.VMEM)
     ospec = pl.BlockSpec((1, ND, bt), lambda w, k: (w, 0, 0),
                          memory_space=pltpu.VMEM)
     out = jax.ShapeDtypeStruct((nwin, ND, bt), jnp.uint32)
     scratch = [pltpu.VMEM((ND, bt), jnp.uint32)] * 6
     return jax.jit(pl.pallas_call(
-        _fold_kernel,
-        grid=(nwin, 15),
+        partial(_fold_kernel, nb),
+        grid=(nwin, nb),
         in_specs=[bspec] * 3 + pc._table_specs(),
         out_specs=(ospec,) * 3,
         out_shape=(out,) * 3,
@@ -174,7 +276,8 @@ def _fold_call(nwin: int, bt: int, interpret: bool):
 @lru_cache(maxsize=None)
 def _reduce_fn(ops: CurveOps, nwin: int, bt: int):
     """(nwin, bt, 16) folded per-window lane partials -> (nwin, 16)
-    window totals: log2(bt) lane-halving adds."""
+    window totals: log2(bt) lane-halving adds (full-cased XLA limb adds:
+    lane partials CAN legitimately collide)."""
     @jax.jit
     def f(x, y, z):
         p = JacPoint(x, y, z)
@@ -184,82 +287,235 @@ def _reduce_fn(ops: CurveOps, nwin: int, bt: int):
             p = ops.add(jnp, JacPoint(p.x[:, :w], p.y[:, :w], p.z[:, :w]),
                         JacPoint(p.x[:, w:2 * w], p.y[:, w:2 * w],
                                  p.z[:, w:2 * w]))
-        # per-window totals; the 4-bit Horner over windows runs on the
-        # HOST (chained tiny point ops on (1,16) tensors cost ~35 ms
-        # each as a device loop — seconds of fixed latency vs ~10 ms of
-        # exact host bigint arithmetic)
+        # per-window totals; the Horner over windows runs on the HOST
+        # (chained tiny point ops on (1,16) tensors cost ~35 ms each as
+        # a device loop — seconds of fixed latency vs ~10 ms of exact
+        # host bigint arithmetic)
         return p.x[:, 0], p.y[:, 0], p.z[:, 0]
     return f
 
 
+# --- on-device operand prep ---------------------------------------------------
+
+@lru_cache(maxsize=None)
+def _prep_fn(npad: int, steps: int, bt: int, c: int, nwin: int,
+             affine: bool):
+    """One jitted function: point limb->digit tiling + signed window
+    extraction. Inputs may be u16 (host-shipped, half traffic) or u32
+    (device-resident)."""
+    nb = 1 << (c - 1)
+    nwin_u = nwin - 1
+    steps8 = -(-steps // 8) * 8
+
+    @jax.jit
+    def f(x, y, z, sc):
+        x = x.astype(jnp.uint32)
+        y = y.astype(jnp.uint32)
+        z = z.astype(jnp.uint32)
+        sc = sc.astype(jnp.uint32)
+
+        def tiles(climbs):
+            d = mxu.digits_from_limbs(jnp, climbs)        # (npad, 32)
+            return d.reshape(steps, bt, ND).transpose(0, 2, 1)
+
+        px, py = tiles(x), tiles(y)
+        # infinity inputs (z = 0) and padding lanes get digit 0 -> never
+        # added (the kernels then never see an infinity operand)
+        valid = (jnp.sum(z.astype(jnp.int32), axis=1) != 0)
+
+        scp = jnp.concatenate([sc, jnp.zeros((npad, 1), jnp.uint32)], 1)
+        vals = []
+        for w in range(nwin_u):
+            b = w * c
+            i, s = b // 16, b % 16
+            raw = scp[:, i] >> np.uint32(s)
+            if s + c > 16:
+                raw = raw | (scp[:, i + 1] << np.uint32(16 - s))
+            vals.append(raw & np.uint32((1 << c) - 1))
+        vals = jnp.stack(vals).astype(jnp.int32)          # (nwin_u, npad)
+
+        def step(carry, v):
+            v = v + carry
+            big = (v > nb).astype(jnp.int32)
+            return big, v - 2 * nb * big
+
+        carry, digs = jax.lax.scan(
+            step, jnp.zeros((npad,), jnp.int32), vals)
+        digs = jnp.concatenate([digs, carry[None]], 0)    # (nwin, npad)
+        pack = (jnp.abs(digs)
+                | jnp.where(digs < 0, _SIGN, 0)).astype(jnp.uint32)
+        pack = pack * valid[None].astype(jnp.uint32)
+        pack = pack.reshape(nwin, steps, bt)
+        if steps8 != steps:
+            pack = jnp.pad(pack, ((0, 0), (0, steps8 - steps), (0, 0)))
+        if affine:
+            return px, py, pack
+        return px, py, tiles(z), pack
+    return f
+
+
+@lru_cache(maxsize=None)
+def _blinding(ops: CurveOps, nb: int):
+    """Per-slot blinding points D_s = d_s * G (secret d_s) as (nb, ND, 1)
+    Montgomery digit columns, plus sum_s s*d_s mod n for the exact
+    correction."""
+    seed = os.environ.get("PORLA_MSM_BLIND_SEED")
+    rng = random.Random(int(seed)) if seed else random.SystemRandom()
+    cv = ops.curve
+    d = [rng.randrange(1, cv.n) for _ in range(nb)]
+    jp = ops.from_affine(np, [ecc.mul(cv, cv.g, k) for k in d])
+
+    def cols(climbs):
+        dg = np.asarray(mxu.digits_from_limbs(np, np.asarray(climbs)))
+        return jnp.asarray(dg.reshape(nb, ND, 1))
+
+    tsum = sum((s + 1) * d[s] for s in range(nb)) % cv.n
+    return cols(jp.x), cols(jp.y), tsum
+
+
+# --- policy -------------------------------------------------------------------
+
+def choose_c(n: int, nbits: int = 256) -> int:
+    """Window width from point count: minimize the modeled kernel cost
+    nwin(c) * [steps * (add_muls + select_cost(nb)) + fold(nb)] in
+    field-mul units. Mirrors the reference's bucket-window table
+    (ecmult_impl.h:573-597) but derived from the TPU kernel's cost
+    shape; validated by the on-chip sweep in MSM_r03.json."""
+    env = os.environ.get("PORLA_MSM_C")
+    if env:
+        return int(env)
+    bt = _DEFAULT_BT
+    steps = max(1, -(-n // bt))
+    best, best_cost = 4, None
+    for c in (4, 5, 6):
+        nb = 1 << (c - 1)
+        nwin = -(-nbits // c) + 1
+        sel = 9 * nb / 70.0          # select tile-ops in field-mul units
+        bucket = steps * (11 + sel)  # mixed adds + bucket read/write
+        fold = 2 * nb * 16          # suffix-run adds per window
+        cost = nwin * (bucket + fold)
+        if best_cost is None or cost < best_cost:
+            best, best_cost = c, cost
+    return best
+
+
+_DEFAULT_BT = int(os.environ.get("PORLA_MSM_BT", "512"))
+
+
+# --- entry point --------------------------------------------------------------
+
+def _is_affine_host(ops: CurveOps, z) -> bool:
+    z = np.asarray(z)
+    r = L.int_to_limbs(ops.fp.r % ops.fp.n).astype(np.uint32)
+    zr = (z == r[None]).all(axis=1)
+    zi = (z == 0).all(axis=1)
+    return bool((zr | zi).all())
+
+
 def pippenger_msm(ops: CurveOps, points: JacPoint, scalars,
-                  nbits: int = 256, bt: int = 512,
+                  nbits: int = 256, bt: int | None = None,
+                  c: int | None = None, affine: bool | None = None,
                   interpret: bool | None = None) -> JacPoint:
     """sum_i scalars[i] * points[i] -> JacPoint (1,).
 
-    points: (N, 16) limb JacPoint (Montgomery); scalars: (N, 16)
-    standard-form limbs, < 2^nbits. Pads N with (infinity, 0) lanes."""
+    points: (N, 16) limb JacPoint (Montgomery), host or device
+    resident; scalars: (N, 16) standard-form limbs, < 2^nbits. Pads N
+    with (infinity, 0) lanes. `affine` marks inputs with z in {0, R}
+    (auto-detected for host arrays) and selects the 11-mul mixed-add
+    kernel."""
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     N = points.x.shape[0]
+    if bt is None:
+        bt = _DEFAULT_BT
     bt = min(bt, max(128, -(-N // 128) * 128))
+    if c is None:
+        c = choose_c(N, nbits)
+    nb = 1 << (c - 1)
     steps = -(-N // bt)
     npad = steps * bt
-    nwin = nbits // 4
+    nwin = -(-nbits // c) + 1
 
-    # (steps, ND, bt) digit tiles per coordinate, infinity padding,
-    # shipped as u8
-    def prep(c, fill):
-        c = pc._pad_to(np.asarray(c), npad)
-        if fill is not None and npad > N:
-            c[N:] = fill
-        d = np.asarray(mxu.digits_from_limbs(np, c)).astype(np.uint8)
-        return jnp.asarray(np.ascontiguousarray(
-            d.reshape(steps, bt, ND).transpose(0, 2, 1)))
+    if affine is None:
+        affine = (isinstance(points.z, np.ndarray)
+                  and _is_affine_host(ops, points.z))
 
-    rd_limbs = L.ints_to_limbs([ops.fp.r % ops.fp.n])[0]
-    px = prep(points.x, rd_limbs)
-    py = prep(points.y, rd_limbs)
-    pz = prep(points.z, None)                          # zero pad = infinity
+    dx, dy, tsum = _blinding(ops, nb)
+    tabs = [jnp.asarray(t) for t in pc._curve_tables(ops.fp)]
+    csteps = int(os.environ.get("PORLA_MSM_CHUNK", "256"))
+    host_in = isinstance(points.x, np.ndarray)
+    pipelined = host_in and steps > csteps
 
-    # (nwin, steps8, bt) LSB-first 4-bit windows; the steps axis is padded
-    # to a multiple of 8 for the (1, 8, bt) digit blocks (padding rows are
-    # never visited — the grid stops at `steps`)
-    sd = np.asarray(mxu.digits_from_limbs(np, pc._pad_to(
-        np.asarray(scalars, np.uint32), npad)))        # (npad, 32)
-    dig = np.empty((nwin, npad), np.uint8)
-    for w in range(nwin):
-        byte = sd[:, w // 2].astype(np.uint8)
-        dig[w] = (byte >> 4) & 0xF if w % 2 else byte & 0xF
-    steps8 = -(-steps // 8) * 8
-    if steps8 == steps:
-        dig3 = dig.reshape(nwin, steps, bt)
+    if pipelined:
+        # chunk the host->device stream so transfers of chunk i+1
+        # overlap the bucket kernel of chunk i (bucket state carried
+        # through aliased in/out blocks)
+        nchunks = -(-steps // csteps)
+        steps = nchunks * csteps
+        npad = steps * bt
+
+        def pad16(a):
+            a = np.asarray(a)
+            if a.shape[0] != npad:
+                a = np.concatenate(
+                    [a, np.zeros((npad - a.shape[0], 16), a.dtype)], 0)
+            return a.astype(np.uint16)
+
+        xh, yh, zh = pad16(points.x), pad16(points.y), pad16(points.z)
+        sh = pad16(scalars)
+        cpts = csteps * bt
+        prep = _prep_fn(cpts, csteps, bt, c, nwin, affine)
+        first = _pip_call(nwin, csteps, bt, nb, affine, interpret)
+        carry = _pip_call_carry(nwin, csteps, bt, nb, affine, interpret)
+        bufs = None
+        for ci in range(nchunks):
+            sl = slice(ci * cpts, (ci + 1) * cpts)
+            prepped = prep(jnp.asarray(xh[sl]), jnp.asarray(yh[sl]),
+                           jnp.asarray(zh[sl]), jnp.asarray(sh[sl]))
+            if bufs is None:
+                bufs = first(*prepped, dx, dy, *tabs)
+            else:
+                bufs = carry(*prepped, *bufs, *tabs)
+        sx, sy, sz = bufs
     else:
-        dig3 = np.zeros((nwin, steps8, bt), np.uint8)
-        dig3[:, :steps] = dig.reshape(nwin, steps, bt)
-    dig = jnp.asarray(dig3)
+        def ship(a):
+            a = np.asarray(a)
+            if a.shape[0] != npad:
+                a = np.concatenate(
+                    [a, np.zeros((npad - a.shape[0], 16), a.dtype)], 0)
+            return jnp.asarray(a.astype(np.uint16))
 
-    fn = _pip_call(nwin, steps, bt, interpret)
-    tabs = pc._curve_tables(ops.fp)
-    sx, sy, sz = fn(px, py, pz, dig, *(jnp.asarray(t) for t in tabs))
+        if host_in:
+            x, y, z = ship(points.x), ship(points.y), ship(points.z)
+        else:
+            x = pc._pad_to_dev(points.x, npad)
+            y = pc._pad_to_dev(points.y, npad)
+            z = pc._pad_to_dev(points.z, npad)
+        sc = (ship(scalars) if isinstance(scalars, np.ndarray)
+              else pc._pad_to_dev(jnp.asarray(scalars), npad))
 
-    # Pallas suffix-run bucket fold, then limb decode + lane halving
-    fx, fy, fz = _fold_call(nwin, bt, interpret)(
-        sx, sy, sz, *(jnp.asarray(t) for t in tabs))
+        prepped = _prep_fn(npad, steps, bt, c, nwin, affine)(x, y, z, sc)
+        fn = _pip_call(nwin, steps, bt, nb, affine, interpret)
+        sx, sy, sz = fn(*prepped, dx, dy, *tabs)
+
+    fx, fy, fz = _fold_call(nwin, bt, nb, interpret)(sx, sy, sz, *tabs)
     lx = mxu.limbs_from_digits(jnp, jnp.moveaxis(fx, 1, 2))
     ly = mxu.limbs_from_digits(jnp, jnp.moveaxis(fy, 1, 2))
     lz = mxu.limbs_from_digits(jnp, jnp.moveaxis(fz, 1, 2))
     wx, wy, wz = _reduce_fn(ops, nwin, bt)(lx, ly, lz)
 
-    # host Horner: total = sum_w 16^w * W_w (MSB-first, exact bigints)
+    # host Horner: total = sum_w 2^(c w) * W_w (MSB-first, exact
+    # bigints), then subtract the known blinding contribution
     from porla_tpu.curves import kernels as ck
-    from porla_tpu.golden import ecc
     host = ck.fetch_many([wx, wy, wz])
     wins = ops.to_affine(JacPoint(*host))
     cv = ops.curve
     acc = wins[nwin - 1]
     for wi in range(nwin - 2, -1, -1):
-        acc = ecc.add(cv, ecc.mul(cv, acc, 16), wins[wi])
+        acc = ecc.add(cv, ecc.mul(cv, acc, 1 << c), wins[wi])
+    wsum = sum(1 << (c * w) for w in range(nwin)) % cv.n
+    kappa = (bt * wsum * tsum) % cv.n
+    acc = ecc.add(cv, acc, ecc.neg(cv, ecc.mul(cv, cv.g, kappa)))
     out = ops.from_affine(np, [acc])
     return JacPoint(np.asarray(out.x), np.asarray(out.y),
                     np.asarray(out.z))

@@ -10,6 +10,11 @@ from porla_tpu.protocol.client import PorlaClient
 from porla_tpu.protocol.server import PorlaServer
 from porla_tpu.protocol.transport import InProcTransport
 
+import pytest
+
+# compile-heavy: nightly tier (see pyproject markers)
+pytestmark = pytest.mark.slow
+
 
 def test_checkpoint_restore_roundtrip():
     store = tempfile.mkdtemp(prefix="porla_ckpt_")

@@ -10,6 +10,9 @@ from porla_tpu.protocol.client import PorlaClient
 from porla_tpu.protocol.server import PorlaServer
 from porla_tpu.protocol.transport import InProcTransport
 
+# compile-heavy: nightly tier (see pyproject markers)
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module", params=["ipa", "kzg"])
 def pair(request, tmp_path_factory):

@@ -15,6 +15,9 @@ from porla_tpu.curves import kernels as ck
 from porla_tpu.fields import constants as C
 from porla_tpu.golden import ecc
 
+# compile-heavy: nightly tier (see pyproject markers)
+pytestmark = pytest.mark.slow
+
 Q = C.SECP_N
 
 

@@ -24,6 +24,9 @@ from porla_tpu.curves.instances import bn254, secp256k1
 from porla_tpu.fields import limbs as L
 from porla_tpu.golden import ecc
 
+# compile-heavy: nightly tier (see pyproject markers)
+pytestmark = pytest.mark.slow
+
 rng = random.Random(2024)
 
 

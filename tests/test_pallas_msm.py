@@ -24,7 +24,7 @@ slow = pytest.mark.skipif(os.environ.get("PORLA_SLOW_TESTS") != "1",
 rng = random.Random(99)
 
 
-def _run(nbits: int, n: int):
+def _inputs(nbits: int, n: int):
     ops = secp256k1()
     cur = ops.curve
     pts = []
@@ -32,16 +32,22 @@ def _run(nbits: int, n: int):
         k = rng.randrange(1, cur.n)
         pts.append(ecc.mul(cur, cur.g, k))
     top = (1 << nbits) - 1
-    # duplicate digits + zero scalar + max-nibble coverage
+    # duplicate digits + zero scalar + max-digit coverage (exercises the
+    # signed-window carry chain: top means every signed digit borrows)
     sc = [rng.getrandbits(nbits) for _ in range(n - 3)] + [
         0, top // 15, top]
-    out = pallas_msm.pippenger_msm(
-        ops, ops.from_affine(np, pts), L.ints_to_limbs(sc), nbits=nbits,
-        interpret=True)
-    got = ops.to_affine(out)[0]
     want = ecc.INF
     for p, s in zip(pts, sc):
         want = ecc.add(cur, want, ecc.mul(cur, p, s))
+    return ops, pts, sc, want
+
+
+def _run(nbits: int, n: int, **kw):
+    ops, pts, sc, want = _inputs(nbits, n)
+    out = pallas_msm.pippenger_msm(
+        ops, ops.from_affine(np, pts), L.ints_to_limbs(sc), nbits=nbits,
+        interpret=True, **kw)
+    got = ops.to_affine(out)[0]
     assert got == want
 
 
@@ -49,6 +55,51 @@ def test_pippenger_msm_tiny():
     _run(8, 21)
 
 
+def test_pippenger_msm_tiny_c6():
+    _run(8, 21, c=6)
+
+
+def test_pippenger_msm_jacobian():
+    """Non-affine inputs route through the 16-mul raw-add kernel."""
+    from porla_tpu.curves.weierstrass import JacPoint
+    ops, pts, sc, want = _inputs(8, 21)
+    lam = 7
+    to_m = ops.fp.to_mont_int
+    p = ops.curve.p
+    xs = [to_m(x * lam * lam % p) for x, _ in pts]
+    ys = [to_m(y * pow(lam, 3, p) % p) for _, y in pts]
+    zs = [to_m(lam)] * len(pts)
+    jj = JacPoint(np.stack([L.int_to_limbs(v) for v in xs]),
+                  np.stack([L.int_to_limbs(v) for v in ys]),
+                  np.stack([L.int_to_limbs(v) for v in zs]))
+    out = pallas_msm.pippenger_msm(ops, jj, L.ints_to_limbs(sc),
+                                   nbits=8, interpret=True)
+    assert ops.to_affine(out)[0] == want
+
+
+def test_pippenger_msm_bn254():
+    """The kernels are generic over the field modulus tables."""
+    from porla_tpu.curves.instances import bn254
+    ops = bn254()
+    cur = ops.curve
+    pts = [ecc.mul(cur, cur.g, rng.randrange(1, cur.n)) for _ in range(9)]
+    sc = [rng.getrandbits(8) for _ in range(8)] + [255]
+    want = ecc.INF
+    for p, s in zip(pts, sc):
+        want = ecc.add(cur, want, ecc.mul(cur, p, s))
+    out = pallas_msm.pippenger_msm(
+        ops, ops.from_affine(np, pts), L.ints_to_limbs(sc), nbits=8,
+        interpret=True)
+    assert ops.to_affine(out)[0] == want
+
+
+def test_pippenger_msm_pipelined(monkeypatch):
+    """Chunked host->device streaming with bucket carry-over must match
+    the single-shot result."""
+    monkeypatch.setenv("PORLA_MSM_CHUNK", "1")
+    _run(8, 300, c=4, bt=128)
+
+
 @slow
 def test_pippenger_msm_small():
-    _run(32, 21)
+    _run(32, 21, c=5)

@@ -15,6 +15,9 @@ from porla_tpu.protocol.client import PorlaClient
 from porla_tpu.protocol.server import PorlaServer
 from porla_tpu.protocol.transport import InProcTransport
 
+# compile-heavy: nightly tier (see pyproject markers)
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def pair(tmp_path_factory):
