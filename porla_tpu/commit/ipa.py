@@ -53,9 +53,9 @@ def _msm_gens(gens: JacPoint, scalar_map: dict[int, int]):
             g128 = JacPoint(g.x[:NUM_CHUNKS], g.y[:NUM_CHUNKS],
                             g.z[:NUM_CHUNKS])
             tbl = pallas_curve.fb_table_for(ops, g128)
-            parts = pallas_curve.fb_scalar_mul(
-                tbl, limbs.ints_to_limbs(sc), keep_pad=True)
-            out = kernels.tree_sum(ops, parts)
+            # fused kernel+reduction: ONE dispatch, ONE fetch
+            out = pallas_curve.fb_msm_groups(
+                tbl, limbs.ints_to_limbs(sc), nout=1)
         else:
             out = kernels.msm(ops, gens, limbs.ints_to_limbs(sc),
                               nbits=256)
@@ -80,15 +80,10 @@ def _msm_gens2(gens: JacPoint, scal_l: dict[int, int],
         g = kernels.to_host(gens)
         g128 = JacPoint(g.x[:NUM_CHUNKS], g.y[:NUM_CHUNKS], g.z[:NUM_CHUNKS])
         tbl = pallas_curve.fb_table_for(ops, g128)
-        parts = pallas_curve.fb_scalar_mul(
-            tbl, limbs.ints_to_limbs(sc), keep_pad=True)
-        hl = kernels.tree_sum(
-            ops, JacPoint(parts.x[:NUM_CHUNKS], parts.y[:NUM_CHUNKS],
-                          parts.z[:NUM_CHUNKS]))
-        hr = kernels.tree_sum(
-            ops, JacPoint(parts.x[NUM_CHUNKS:], parts.y[NUM_CHUNKS:],
-                          parts.z[NUM_CHUNKS:]))
-        out = kernels.to_host(kernels.concat([hl, hr]))
+        # L and R halves reduce inside the same dispatch (nout=2); one
+        # transcript round = one device call + one fetch
+        out = kernels.to_host(pallas_curve.fb_msm_groups(
+            tbl, limbs.ints_to_limbs(sc), nout=2))
         aff = ops.to_affine(out)
         return aff[0], aff[1]
 

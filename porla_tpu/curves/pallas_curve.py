@@ -744,6 +744,60 @@ def fb_scalar_mul(table: FbTable, scalars, interpret: bool | None = None,
     return JacPoint(_limbs_T(x)[:B0], _limbs_T(y)[:B0], _limbs_T(z)[:B0])
 
 
+@lru_cache(maxsize=None)
+def _fb_msm_call(ops: CurveOps, B: int, bt: int, nwin: int, nout: int,
+                 interpret: bool):
+    """Fixed-base kernel FUSED with the lane-halving tree reduction into
+    one jitted dispatch: returns nout group sums (contiguous groups of
+    B//nout lanes) as (nout, 16) limb coords. The IPA prover calls this
+    once per transcript round — the round trips (kernel, tree_sum x2,
+    fetch) otherwise each pay the device tunnel's ~0.1-0.3 s latency,
+    which dominated audit wall time (reference Server.hpp:2279-2452
+    does the same combine inline on the CPU)."""
+    W, fb = _fb_call(B, bt, nwin, interpret)
+
+    @jax.jit
+    def f(tx, ty, tz, nib, *tabs):
+        x, y, z = fb(tx, ty, tz, nib, *tabs)
+        g = B // nout
+        p = JacPoint(_limbs_T(x).reshape(nout, g, 16),
+                     _limbs_T(y).reshape(nout, g, 16),
+                     _limbs_T(z).reshape(nout, g, 16))
+        w = g
+        while w > 1:
+            w //= 2
+            p = ops.add(
+                jnp,
+                JacPoint(p.x[:, :w], p.y[:, :w], p.z[:, :w]),
+                JacPoint(p.x[:, w:2 * w], p.y[:, w:2 * w],
+                         p.z[:, w:2 * w]))
+        return p.x[:, 0], p.y[:, 0], p.z[:, 0]
+    return W, f
+
+
+def fb_msm_groups(table: FbTable, scalars, nout: int,
+                  interpret: bool | None = None) -> JacPoint:
+    """scalars[i] * base[i % ng] summed within nout contiguous lane
+    groups -> (nout, 16) JacPoint, in ONE device dispatch."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    scalars = np.asarray(scalars, dtype=np.uint32)
+    B0 = scalars.shape[0]
+    bt = table.bt
+    B = max(bt, -(-B0 // bt) * bt)
+    assert B % nout == 0, "groups must tile the padded lane width"
+    # padding lanes (zero scalars -> infinity points) land in the LAST
+    # group and contribute the identity to its sum
+    nwin = table.nbits // 4
+    W, fn = _fb_msm_call(table.ops, B, bt, nwin, nout, interpret)
+    tabs = _curve_tables(table.ops.fp)
+    nib = _scalar_nibbles(scalars, B, table.nbits).reshape(
+        nwin // W, W, B)
+    tx, ty, tz = table.device_coords_tiled(W)
+    x, y, z = fn(tx, ty, tz, nib, *(jnp.asarray(t) for t in tabs))
+    return JacPoint(x, y, z)
+
+
 def _digits_T(a) -> "jnp.ndarray":
     """(B, 16) u32 limbs -> (32, B) byte-digit tiles."""
     d = mxu.digits_from_limbs(jnp, jnp.asarray(a))     # (B, 32)

@@ -67,6 +67,26 @@ def test_fixed_base_scalar_mul():
         assert g == ecc.mul(cur, gens[i % 4], s), f"lane {i}"
 
 
+def test_fb_msm_groups():
+    """Fused fixed-base MSM + in-dispatch group reduction (the IPA
+    round primitive, ipa._msm_gens2) vs per-lane golden sums."""
+    ops = secp256k1()
+    cur = ops.curve
+    gens = _rand_points(ops, 3) + [cur.g]
+    tbl = pallas_curve.build_fb_table(ops, gens, nbits=32, bt=128)
+    sc = [rng.getrandbits(32) for _ in range(128)]
+    out = pallas_curve.fb_msm_groups(tbl, L.ints_to_limbs(sc), nout=2,
+                                     interpret=True)
+    got = ops.to_affine(out)
+    for h in range(2):
+        want = ecc.INF
+        for i in range(64):
+            want = ecc.add(cur, want,
+                           ecc.mul(cur, gens[(h * 64 + i) % 4],
+                                   sc[h * 64 + i]))
+        assert got[h] == want, f"group {h}"
+
+
 @slow
 def test_scalar_mul_full_256bit():
     # nbits=256 routes through the GLV kernel by default
