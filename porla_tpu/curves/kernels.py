@@ -148,9 +148,18 @@ def to_device(p: JacPoint) -> JacPoint:
 def fetch_many(arrs):
     """Fetch several device arrays in ONE host round trip (each separate
     np.asarray pays ~0.1-0.3 s of tunnel latency): flatten, concat on
-    device, one transfer, split on host. Host arrays pass through."""
+    device, one transfer, split on host. Host arrays pass through.
+
+    Under a multi-process (DCN) mesh, arrays sharded across processes
+    cannot be fetched directly — gather them to every process first
+    (one collective over the pytree)."""
     if all(isinstance(a, np.ndarray) for a in arrs):
         return list(arrs)
+    if any(not isinstance(a, np.ndarray)
+           and not getattr(a, "is_fully_addressable", True) for a in arrs):
+        from jax.experimental import multihost_utils
+        return [np.asarray(a) for a in
+                multihost_utils.process_allgather(list(arrs), tiled=True)]
     flats = [jnp.asarray(a).reshape(-1) for a in arrs]
     host = np.asarray(jnp.concatenate(flats))
     out, off = [], 0

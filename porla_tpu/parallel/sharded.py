@@ -36,6 +36,43 @@ from porla_tpu.fields import limbs, mont
 from porla_tpu.ntt.engine import NttContext, _MOD_P
 
 
+def stage(mesh: Mesh, a, spec) -> jax.Array:
+    """Host array -> global jax.Array sharded per `spec` on `mesh`.
+
+    Works on single-process meshes AND multi-process (DCN) meshes: each
+    process materializes only its addressable shards from the
+    (replicated) host value. Device-resident arrays (chained sharded
+    outputs) pass through untouched."""
+    if isinstance(a, jax.Array) and not isinstance(a, np.ndarray):
+        return a
+    a = np.asarray(a)
+    sh = jax.sharding.NamedSharding(mesh, spec)
+    return jax.make_array_from_callback(a.shape, sh, lambda idx: a[idx])
+
+
+def _halving_sum(ops, p: JacPoint) -> JacPoint:
+    """Log-depth batched point-sum over the leading axis (padded to a
+    power of two with infinity lanes) -> leading axis 1. Replaces the
+    O(shards) serial add chain in the cross-shard combines — at pod
+    scale the combine depth must stay logarithmic."""
+    k = p.x.shape[0]
+    m = 1
+    while m < k:
+        m <<= 1
+    if m != k:
+        pad = (m - k,) + p.x.shape[1:]
+        p = JacPoint(
+            jnp.concatenate([p.x, jnp.ones(pad, jnp.uint32)], 0),
+            jnp.concatenate([p.y, jnp.ones(pad, jnp.uint32)], 0),
+            jnp.concatenate([p.z, jnp.zeros(pad, jnp.uint32)], 0))
+    w = m
+    while w > 1:
+        w //= 2
+        p = ops.add(jnp, JacPoint(p.x[:w], p.y[:w], p.z[:w]),
+                    JacPoint(p.x[w:2 * w], p.y[w:2 * w], p.z[w:2 * w]))
+    return p
+
+
 def make_mesh(devices=None, tp: int | None = None) -> Mesh:
     """Mesh over all devices: ("blocks", "chunks"). tp divides the chunk
     axis (default 2 when the device count allows)."""
@@ -216,10 +253,9 @@ def sharded_msm_fn(mesh: Mesh, nbits: int = 256, ops=None):
         parts = ops.scalar_mul(jnp, JacPoint(px, py, pz), scalars, nbits)
         local = ops.tree_sum(jnp, parts, axis=0)          # (1, 16)
         gathered = jax.lax.all_gather(tuple(local), "blocks")
-        acc = JacPoint(gathered[0][0], gathered[1][0], gathered[2][0])
-        for i in range(1, nblk):
-            acc = ops.add(jnp, acc, JacPoint(
-                gathered[0][i], gathered[1][i], gathered[2][i]))
+        acc = JacPoint(gathered[0][:, 0], gathered[1][:, 0],
+                       gathered[2][:, 0])                 # (nblk, 16)
+        acc = _halving_sum(ops, acc)                      # log2(nblk) adds
         return tuple(acc)
 
     fn = jax.shard_map(
@@ -244,14 +280,13 @@ def sharded_commit_fn(mesh: Mesh, nbits: int = 256, ops=None):
                          jnp.moveaxis(parts.y, 1, 0),
                          jnp.moveaxis(parts.z, 1, 0))
         local = ops.tree_sum(jnp, parts, axis=0)  # (1, B_loc, 16)
-        # combine chunk-shard partials: gather then local point-add chain
+        # combine chunk-shard partials: gather, then a log-depth batched
+        # halving tree (a serial per-shard add chain is the wrong shape
+        # for a pod-scale tp axis)
         gathered = jax.lax.all_gather(tuple(local), "chunks")  # (tp, 1, B, 16)
-        acc = JacPoint(gathered[0][0], gathered[1][0], gathered[2][0])
-        ntp = gathered[0].shape[0]
-        for i in range(1, ntp):
-            acc = ops.add(jnp, acc, JacPoint(
-                gathered[0][i], gathered[1][i], gathered[2][i]))
-        return tuple(JacPoint(acc.x[0], acc.y[0], acc.z[0]))
+        acc = _halving_sum(ops, JacPoint(
+            gathered[0][:, 0], gathered[1][:, 0], gathered[2][:, 0]))
+        return (acc.x[0], acc.y[0], acc.z[0])
 
     # check_vma off: after the all-gather + identical local reduction the
     # outputs are value-replicated over "chunks", which the varying-axis

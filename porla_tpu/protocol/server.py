@@ -104,14 +104,17 @@ class PorlaServer:
         shards blocks over "blocks" with ppermute stage exchanges; the
         MAC mirror is a sharded point butterfly per stage; commitments
         are TP over "chunks"; audit combination MSMs are DP."""
-        import jax.numpy as jnp
+        from jax.sharding import PartitionSpec as P
+
         from porla_tpu.parallel import sharded
         ctx, mesh = self.ctx, self._mesh
-        self._sh_tab_p = [jnp.asarray(t) for t in
+        self._stage = lambda a, spec=P("blocks"): sharded.stage(
+            mesh, a, spec)
+        self._sh_tab_p = [self._stage(t) for t in
                           sharded.stage_twiddle_tables(ctx, ctx.mod_p)]
-        self._sh_tab_q = [jnp.asarray(t) for t in
+        self._sh_tab_q = [self._stage(t) for t in
                           sharded.stage_twiddle_tables(ctx, ctx.mod_q)]
-        self._sh_tab_std = [jnp.asarray(t) for t in
+        self._sh_tab_std = [self._stage(t) for t in
                             sharded.stage_twiddle_tables_std(ctx)]
         self._sh_enc_p = sharded.sharded_encode_fn(ctx, mesh, ctx.mod_p)
         self._sh_enc_q = sharded.sharded_encode_fn(ctx, mesh, ctx.mod_q)
@@ -266,13 +269,13 @@ class PorlaServer:
         # infinity (no align_MAC in the cached path).
         with trace.span("server.crebuild.data"):
             if self._mesh is not None:
-                import jax.numpy as jnp
+                st = self._stage
                 dx = CrtArray(
-                    self._sh_enc_p(jnp.asarray(data_x.p), *self._sh_tab_p),
-                    self._sh_enc_q(jnp.asarray(data_x.q), *self._sh_tab_q))
+                    self._sh_enc_p(st(data_x.p), *self._sh_tab_p),
+                    self._sh_enc_q(st(data_x.q), *self._sh_tab_q))
                 dy = CrtArray(
-                    self._sh_enc_p(jnp.asarray(data_y.p), *self._sh_tab_p),
-                    self._sh_enc_q(jnp.asarray(data_y.q), *self._sh_tab_q))
+                    self._sh_enc_p(st(data_y.p), *self._sh_tab_p),
+                    self._sh_enc_q(st(data_y.q), *self._sh_tab_q))
             else:
                 dx = compute.encode_crt(self.mod_q, ctx, data_x)
                 dy = compute.encode_crt(self.mod_q, ctx, data_y)
@@ -346,10 +349,9 @@ class PorlaServer:
         "blocks" axis in multi-chip mode."""
         with trace.span("server.crebuild.mac_stage", s=s):
             if self._mesh is not None:
-                import jax.numpy as jnp
-                out = self._sh_pt[s](jnp.asarray(macs.x),
-                                     jnp.asarray(macs.y),
-                                     jnp.asarray(macs.z),
+                out = self._sh_pt[s](self._stage(macs.x),
+                                     self._stage(macs.y),
+                                     self._stage(macs.z),
                                      self._sh_tab_std[s - 1])
                 return JacPoint(*out)
             return compute.point_stage(self.ctx, s, macs, ops=self.ops)
@@ -506,7 +508,6 @@ class PorlaServer:
         """DP audit-combination MSM over the mesh (Server.hpp:831-848).
         Pads the point axis to a multiple of the "blocks" shard count
         with zero-scalar lanes (identity contributions)."""
-        import jax.numpy as jnp
         dp = self._mesh.shape["blocks"]
         n = pts.x.shape[0]
         npad = -(-n // dp) * dp
@@ -515,8 +516,8 @@ class PorlaServer:
             pad = lambda a: np.concatenate(  # noqa: E731
                 [np.asarray(a)] + [np.asarray(a)[:1]] * (npad - n), 0)
             pts = JacPoint(pad(pts.x), pad(pts.y), pad(pts.z))
-        out = self._sh_msm32(jnp.asarray(pts.x), jnp.asarray(pts.y),
-                             jnp.asarray(pts.z), jnp.asarray(sc))
+        out = self._sh_msm32(self._stage(pts.x), self._stage(pts.y),
+                             self._stage(pts.z), self._stage(sc))
         return JacPoint(out[0], out[1], out[2])  # (1, 16) components
 
     def _align(self, data: CrtArray, acc: JacPoint):
@@ -543,7 +544,7 @@ class PorlaServer:
     def _commit_batch_sharded(self, gens: JacPoint, scalars) -> JacPoint:
         """TP-over-chunks / DP-over-blocks commitment MSM (the multi-chip
         form of the 8-thread commitment splits, Server.hpp:330-361)."""
-        import jax.numpy as jnp
+        from jax.sharding import PartitionSpec as P
         sc = np.asarray(scalars, np.uint32)
         B, ng = sc.shape[0], sc.shape[1]
         dp = self._mesh.shape["blocks"]
@@ -551,9 +552,11 @@ class PorlaServer:
         if Bp > B:
             sc = np.concatenate(
                 [sc, np.zeros((Bp - B, ng, sc.shape[2]), np.uint32)], 0)
-        out = self._sh_commit(jnp.asarray(gens.x)[:ng],
-                              jnp.asarray(gens.y)[:ng],
-                              jnp.asarray(gens.z)[:ng], jnp.asarray(sc))
+        stc = lambda a: self._stage(a, P("chunks"))  # noqa: E731
+        out = self._sh_commit(stc(np.asarray(gens.x)[:ng]),
+                              stc(np.asarray(gens.y)[:ng]),
+                              stc(np.asarray(gens.z)[:ng]),
+                              self._stage(sc, P("blocks", "chunks")))
         return JacPoint(out[0][:B], out[1][:B], out[2][:B])
 
     # ---------------------------------------------------------------- audit

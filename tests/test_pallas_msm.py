@@ -18,8 +18,11 @@ from porla_tpu.curves.instances import secp256k1
 from porla_tpu.fields import limbs as L
 from porla_tpu.golden import ecc
 
-slow = pytest.mark.skipif(os.environ.get("PORLA_SLOW_TESTS") != "1",
-                          reason="slow interpret-mode kernel")
+# nightly tier (pytest -m slow); the 32-bit variant additionally needs
+# PORLA_SLOW_TESTS=1 (tens of minutes of interpret-mode point adds)
+slow = pytest.mark.slow
+xslow = pytest.mark.skipif(os.environ.get("PORLA_SLOW_TESTS") != "1",
+                           reason="slow interpret-mode kernel")
 
 rng = random.Random(99)
 
@@ -55,10 +58,12 @@ def test_pippenger_msm_tiny():
     _run(8, 21)
 
 
+@slow
 def test_pippenger_msm_tiny_c6():
     _run(8, 21, c=6)
 
 
+@slow
 def test_pippenger_msm_jacobian():
     """Non-affine inputs route through the 16-mul raw-add kernel."""
     from porla_tpu.curves.weierstrass import JacPoint
@@ -93,6 +98,7 @@ def test_pippenger_msm_bn254():
     assert ops.to_affine(out)[0] == want
 
 
+@slow
 def test_pippenger_msm_pipelined(monkeypatch):
     """Chunked host->device streaming with bucket carry-over must match
     the single-shot result."""
@@ -100,6 +106,6 @@ def test_pippenger_msm_pipelined(monkeypatch):
     _run(8, 300, c=4, bt=128)
 
 
-@slow
+@xslow
 def test_pippenger_msm_small():
     _run(32, 21, c=5)
