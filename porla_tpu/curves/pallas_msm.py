@@ -360,7 +360,18 @@ def _blinding(ops: CurveOps, nb: int):
     Montgomery digit columns, plus sum_s s*d_s mod n for the exact
     correction."""
     seed = os.environ.get("PORLA_MSM_BLIND_SEED")
-    rng = random.Random(int(seed)) if seed else random.SystemRandom()
+    if seed is not None:
+        rng = random.Random(int(seed))
+    elif jax.process_count() > 1:
+        # multi-process SPMD: every process must derive the SAME blinding
+        # (host protocol state replicates across the fleet) — broadcast
+        # process 0's entropy; still secret from MSM-input adversaries
+        from jax.experimental import multihost_utils
+        ent = np.frombuffer(os.urandom(8), np.uint64).reshape(())
+        rng = random.Random(
+            int(multihost_utils.broadcast_one_to_all(ent)))
+    else:
+        rng = random.SystemRandom()
     cv = ops.curve
     d = [rng.randrange(1, cv.n) for _ in range(nb)]
     jp = ops.from_affine(np, [ecc.mul(cv, cv.g, k) for k in d])

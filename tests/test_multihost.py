@@ -18,6 +18,43 @@ def _free_port() -> int:
     return port
 
 
+def test_two_process_protocol_epoch():
+    """Nightly: the FULL protocol (initialize/update/audit) over a real
+    2-process cluster via examples/run_multihost.py — the self-verifying
+    audit proves every sharded stage agrees across processes. Recorded
+    once as MULTIHOST_r03.json (~18 min, compile-dominated)."""
+    import pytest
+    pytest.importorskip("jax")
+    if os.environ.get("PORLA_SLOW_TESTS") != "1":
+        pytest.skip("set PORLA_SLOW_TESTS=1 (~18 min of XLA:CPU compiles)")
+    port = _free_port()
+    entry = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                         "examples", "run_multihost.py")
+    env = dict(os.environ)
+    env["PYTHONPATH"] = (os.path.dirname(os.path.dirname(__file__))
+                         + os.pathsep + env.get("PYTHONPATH", ""))
+    env.pop("JAX_PLATFORMS", None)
+    env["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    procs = [subprocess.Popen(
+        [sys.executable, entry, "--coordinator", f"localhost:{port}",
+         "--nprocs", "2", "--proc-id", str(i), "--cpu", "--n", "16"],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env)
+        for i in range(2)]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=2400)
+            outs.append(out.decode(errors="replace"))
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    for i, p in enumerate(procs):
+        assert p.returncode == 0, \
+            f"proc {i} rc={p.returncode}\n{outs[i][-2000:]}"
+        assert "audit PASSED" in outs[i]
+
+
 def test_two_process_distributed_ntt():
     port = _free_port()
     runner = os.path.join(os.path.dirname(__file__),
