@@ -109,11 +109,12 @@ def tree_sum(ops: CurveOps, p: JacPoint) -> JacPoint:
 
 
 # Above this point count, route variable-base MSMs to the Pippenger
-# bucket kernel; below it the windowed per-point path wins (its per-lane
-# cost is ~5 ops/window vs Pippenger's fixed ~30-add bucket fold per
-# window). The reference's analogous policy is Strauss<88/Pippenger>=88 +
-# a bucket-window table (ecmult_impl.h:55, 573-597); this value was
-# measured on the v5e chip (see MSM_r02.json sweep).
+# bucket kernel; below it the windowed per-point path wins (per-window
+# bucket-fold overhead amortizes only at scale). The reference's
+# analogous policy is Strauss<88/Pippenger>=88 + a bucket-window table
+# (ecmult_impl.h:55, 573-597). Measured on the v5e chip (MSM_r03.json):
+# windowed 24.0k vs pippenger 4.9k pts/s at N=1024; 18.4k vs 20.0k at
+# N=4096; 53.0k vs 57.0k at N=16384 — crossover sits at ~4096.
 PIPPENGER_CROSSOVER = int(
     __import__("os").environ.get("PORLA_PIP_CROSSOVER", "4096"))
 

@@ -387,27 +387,20 @@ def _blinding(ops: CurveOps, nb: int):
 # --- policy -------------------------------------------------------------------
 
 def choose_c(n: int, nbits: int = 256) -> int:
-    """Window width from point count: minimize the modeled kernel cost
-    nwin(c) * [steps * (add_muls + select_cost(nb)) + fold(nb)] in
-    field-mul units. Mirrors the reference's bucket-window table
-    (ecmult_impl.h:573-597) but derived from the TPU kernel's cost
-    shape; validated by the on-chip sweep in MSM_r03.json."""
+    """Window width from point count — the measured policy table from
+    the on-chip sweep (MSM_r03.json): c=4 below 2^15 points (the
+    per-window fold and fixed dispatch overheads dominate, fewer
+    buckets win), c=6 above (bucket adds dominate; nb=32 is the
+    largest bucket file fitting VMEM at bt=512). Mirrors the
+    reference's bucket-window table (ecmult_impl.h:573-597). The
+    analytic cost model nwin(c) * [steps*(11 + select(nb)) + 2*nb*16]
+    ranks c5~c6 within 10%; measurement puts c6 ahead at every
+    N >= 2^16 (162.5k vs 153.6k pts/s at 2^16; 571.7k vs 335.3k at
+    2^20 pipelined), hence the pinned table."""
     env = os.environ.get("PORLA_MSM_C")
     if env:
         return int(env)
-    bt = _DEFAULT_BT
-    steps = max(1, -(-n // bt))
-    best, best_cost = 4, None
-    for c in (4, 5, 6):
-        nb = 1 << (c - 1)
-        nwin = -(-nbits // c) + 1
-        sel = 9 * nb / 70.0          # select tile-ops in field-mul units
-        bucket = steps * (11 + sel)  # mixed adds + bucket read/write
-        fold = 2 * nb * 16          # suffix-run adds per window
-        cost = nwin * (bucket + fold)
-        if best_cost is None or cost < best_cost:
-            best, best_cost = c, cost
-    return best
+    return 4 if n < (1 << 15) else 6
 
 
 _DEFAULT_BT = int(os.environ.get("PORLA_MSM_BT", "512"))
@@ -439,7 +432,10 @@ def pippenger_msm(ops: CurveOps, points: JacPoint, scalars,
     N = points.x.shape[0]
     if bt is None:
         bt = _DEFAULT_BT
-    bt = min(bt, max(128, -(-N // 128) * 128))
+    # bt must be a power of two: the lane-halving reduce drops lanes
+    # otherwise (a 384-lane tile at N=300 silently lost lane 2's partial)
+    bt = min(bt, max(128, 1 << (N - 1).bit_length()))
+    assert bt & (bt - 1) == 0, f"lane width must be a power of two: {bt}"
     if c is None:
         c = choose_c(N, nbits)
     nb = 1 << (c - 1)

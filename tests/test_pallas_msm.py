@@ -99,6 +99,13 @@ def test_pippenger_msm_bn254():
 
 
 @slow
+def test_pippenger_msm_non_pow2_batch():
+    """N=300 forces a padded lane tile; a non-power-of-two tile width
+    once dropped lane partials in the halving reduce (KAT_r03 catch)."""
+    _run(8, 300)
+
+
+@slow
 def test_pippenger_msm_pipelined(monkeypatch):
     """Chunked host->device streaming with bucket carry-over must match
     the single-shot result."""
