@@ -126,13 +126,19 @@ def bench_msm(curve_name: str, n: int = 1 << 20) -> dict:
         out = pallas_msm.pippenger_msm(ops, points, sc_limbs)
         return ops.to_affine(out)[0]
 
-    got = run()  # compile + warm
-    assert got == want, f"MSM mismatch vs golden ({curve_name})"
+    def check(got):
+        # explicit raise (assert is stripped under -O) on EVERY run,
+        # warm-up and timed alike
+        if got != want:
+            raise RuntimeError(f"MSM mismatch vs golden ({curve_name})")
+
+    check(run())  # compile + warm
     times = []
     for _ in range(3):
         t0 = time.perf_counter()
-        run()
+        got = run()
         times.append(time.perf_counter() - t0)
+        check(got)
     t = min(times)
     c = pallas_msm.choose_c(n)
     return {

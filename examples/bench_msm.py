@@ -36,6 +36,11 @@ def main():
     ap.add_argument("--bt", type=int, default=None, help="lane tile width")
     ap.add_argument("--json", default=None,
                     help="append a JSON result line to this file")
+    ap.add_argument("--device-resident", action="store_true",
+                    help="stage operands in HBM before timing (the "
+                    "protocol's MAC arrays live on device; also removes "
+                    "this harness's ~89 MB/s host tunnel, which a real "
+                    "TPU host's PCIe/DMA path would not impose)")
     args = ap.parse_args()
 
     import jax
@@ -67,10 +72,19 @@ def main():
         total = sum(sc[g::args.bases]) % cur.n
         want = ecc.add(cur, want, ecc.mul(cur, bases[g], total))
 
+    affine = None
+    if args.device_resident:
+        import jax.numpy as jnp
+        affine = True  # from_affine bases: z in {0, R}
+        points = type(pts_host)(jnp.asarray(points.x),
+                                jnp.asarray(points.y),
+                                jnp.asarray(points.z))
+        sc_limbs = jnp.asarray(sc_limbs)
+
     def run_pip():
         out = pallas_msm.pippenger_msm(ops, points, sc_limbs,
                                        nbits=args.nbits, c=args.c,
-                                       bt=args.bt)
+                                       bt=args.bt, affine=affine)
         return ops.to_affine(ck.to_host(out))[0]
 
     c_used = args.c or pallas_msm.choose_c(args.n, args.nbits)
@@ -93,7 +107,8 @@ def main():
         import json
         rec = {"curve": args.curve, "n": args.n, "nbits": args.nbits,
                "c": c_used, "bt": args.bt, "warm_s": round(t, 4),
-               "pts_per_s": round(args.n / t, 1)}
+               "pts_per_s": round(args.n / t, 1),
+               "device_resident": bool(args.device_resident)}
         with open(args.json, "a") as f:
             f.write(json.dumps(rec) + "\n")
 

@@ -154,19 +154,34 @@ def fetch_many(arrs):
     Under a multi-process (DCN) mesh, arrays sharded across processes
     cannot be fetched directly — gather them to every process first
     (one collective over the pytree)."""
+    arrs = list(arrs)
     if all(isinstance(a, np.ndarray) for a in arrs):
-        return list(arrs)
-    if any(not isinstance(a, np.ndarray)
-           and not getattr(a, "is_fully_addressable", True) for a in arrs):
+        return arrs
+    shard_idx = [i for i, a in enumerate(arrs)
+                 if not isinstance(a, np.ndarray)
+                 and not getattr(a, "is_fully_addressable", True)]
+    if shard_idx:
+        # allgather ONLY the non-fully-addressable entries: process_allgather
+        # concatenates numpy/fully-addressable inputs across processes
+        # (nproc-times-too-large results for mixed lists); the rest go
+        # through the ordinary concat fetch below, order preserved
         from jax.experimental import multihost_utils
-        return [np.asarray(a) for a in
-                multihost_utils.process_allgather(list(arrs), tiled=True)]
-    flats = [jnp.asarray(a).reshape(-1) for a in arrs]
-    host = np.asarray(jnp.concatenate(flats))
-    out, off = [], 0
-    for a in arrs:
+        gathered = multihost_utils.process_allgather(
+            [arrs[i] for i in shard_idx], tiled=True)
+        arrs = list(arrs)
+        for i, g in zip(shard_idx, gathered):
+            arrs[i] = np.asarray(g)
+        if all(isinstance(a, np.ndarray) for a in arrs):
+            return arrs
+    dev_idx = [i for i, a in enumerate(arrs) if not isinstance(a, np.ndarray)]
+    flats = [arrs[i].reshape(-1) for i in dev_idx]
+    host = np.asarray(jnp.concatenate(flats)) if len(flats) > 1 \
+        else np.asarray(flats[0])
+    out, off = list(arrs), 0
+    for i in dev_idx:
+        a = arrs[i]
         sz = int(np.prod(a.shape)) if a.shape else 1
-        out.append(host[off:off + sz].reshape(a.shape))
+        out[i] = host[off:off + sz].reshape(a.shape)
         off += sz
     return out
 

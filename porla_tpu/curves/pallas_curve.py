@@ -87,6 +87,217 @@ def _f_mul(a, b, tabs):
     return _redc(_conv_columns(a, b), tabs)
 
 
+# --- field core v2: Karatsuba-hybrid conv + wide-dot REDC -------------------
+#
+# Round-4 bucket-kernel frontier (profile_msm_kernel.py): each 1.25 us
+# field mul spent ~60% in the pad-shift conv and ~40% in THREE
+# packed-carry resolves. v2 cuts both:
+#  - 1-level UNSIGNED Karatsuba: mid = m1 - z0 - z2 is term-wise
+#    nonnegative columnwise ((a0+a1)_i(b0+b1)_j >= a0_i b0_j + a1_i b1_j
+#    per term), so everything stays exact in u32/f32 with no sign
+#    handling; 3x16-tap convs beat one 32-tap (fewer 64-row pad-adds).
+#  - wide-dot REDC: the 9-bit folded columns (lo <= 255, hi in {0,1})
+#    feed a WIDENED Toeplitz bf16 dot directly — columns 32..63 of the
+#    matrix carry the one-digit-shifted constant, truncated mod R — so
+#    resolve #1 disappears; for moduli with 2n < R (BN254) resolve #2
+#    disappears too (u < n^2/R + 1.004*n < 2n keeps the single
+#    cond_sub sound; for secp256k1 n ~ R so m stays canonical).
+#  - squarings (Z1^2, H^2, R^2) use the symmetric conv (~45% fewer
+#    products).
+# Exactness: chained-mul KAT vs host ints in examples/profile_fmul.py,
+# plus the interpret-mode golden tests of every consumer kernel.
+
+def _conv16(af, bf):
+    """16-tap f32 conv -> (31, B) columns (<= 16*510^2 < 2^23)."""
+    acc = jnp.zeros((31, af.shape[1]), jnp.float32)
+    for i in range(16):
+        acc = acc + jnp.pad(af[i:i + 1] * bf, ((i, 15 - i), (0, 0)))
+    return acc
+
+
+def _conv_columns2(a, b):
+    """1-level Karatsuba-hybrid product columns: (32,B)x(32,B) ->
+    (64,B) u32 columns < 2^24 (all contributions nonnegative)."""
+    af = a.astype(jnp.int32).astype(jnp.float32)
+    bf = b.astype(jnp.int32).astype(jnp.float32)
+    a0, a1 = af[:16], af[16:]
+    b0, b1 = bf[:16], bf[16:]
+    z0 = _conv16(a0, b0)
+    z2 = _conv16(a1, b1)
+    m1 = _conv16(a0 + a1, b0 + b1)
+    mid = m1 - z0 - z2
+    t = (jnp.pad(z0, ((0, 33), (0, 0)))
+         + jnp.pad(mid, ((16, 17), (0, 0)))
+         + jnp.pad(z2, ((32, 1), (0, 0))))
+    return _f32_to_u32(t)
+
+
+def _conv16_sqr(af):
+    """16-tap symmetric conv (square): a_i*a_j terms for i < j counted
+    once against doubled digits."""
+    a2 = af + af
+    acc = jnp.zeros((31, af.shape[1]), jnp.float32)
+    for i in range(16):
+        if i + 1 < 16:  # Mosaic rejects zero-size slices
+            row = jnp.concatenate([af[i:i + 1], a2[i + 1:]], axis=0)
+        else:
+            row = af[i:i + 1]
+        acc = acc + jnp.pad(af[i:i + 1] * row, ((2 * i, 16 - i - 1), (0, 0)))
+    return acc
+
+
+def _conv_sqr2(a):
+    """Karatsuba square columns: (32,B) -> (64,B) u32 < 2^24."""
+    af = a.astype(jnp.int32).astype(jnp.float32)
+    a0, a1 = af[:16], af[16:]
+    z0 = _conv16_sqr(a0)
+    z2 = _conv16_sqr(a1)
+    m1 = _conv16_sqr(a0 + a1)
+    mid = m1 - z0 - z2
+    t = (jnp.pad(z0, ((0, 33), (0, 0)))
+         + jnp.pad(mid, ((16, 17), (0, 0)))
+         + jnp.pad(z2, ((32, 1), (0, 0))))
+    return _f32_to_u32(t)
+
+
+def _split9(v):
+    """(32,B) folded values <= 511 -> (64,B) bf16 lo||hi for the wide
+    dots, with the top hi flag dropped (truncation mod R — sound: any
+    m = t*N' mod R works, and changing m by R changes u by n = 0 mod n)."""
+    lo = v & np.uint32(0xFF)
+    hi = v >> np.uint32(8)
+    rowid = jax.lax.broadcasted_iota(jnp.uint32, (ND, 1), 0)
+    hi = jnp.where(rowid == np.uint32(ND - 1), np.uint32(0), hi)
+    return _u32_to_bf16(jnp.concatenate([lo, hi], axis=0))
+
+
+def _redc2(t256, tabs2, friendly: bool):
+    """Montgomery-reduce (64,B) product columns via the widened
+    Toeplitz dots. friendly = (2n < R): skip resolve #2 as well."""
+    w_, w, nd, _ = tabs2
+    tl = _fold(t256[:ND], ND)
+    m256 = _f32_to_u32(jnp.dot(w_, _split9(tl),
+                               preferred_element_type=jnp.float32))
+    if friendly:
+        u_in = _split9(_fold(m256, ND))
+    else:
+        m, _ = _resolve(_fold(m256, ND))
+        u_in = _u32_to_bf16(jnp.concatenate([m, m & np.uint32(0)], axis=0))
+    u256 = _f32_to_u32(jnp.dot(w, u_in,
+                               preferred_element_type=jnp.float32))
+    sn, _ = _resolve(_fold(u256 + t256, 66))
+    return _cond_sub(sn[ND:2 * ND], sn[2 * ND:2 * ND + 1], nd)
+
+
+def _f_mul2(a, b, tabs2, friendly):
+    return _redc2(_conv_columns2(a, b), tabs2, friendly)
+
+
+def _f_sqr2(a, tabs2, friendly):
+    return _redc2(_conv_sqr2(a), tabs2, friendly)
+
+
+def _p_madd_pure2(p1, p2xy, tabs2, friendly):
+    """v2 raw mixed add (8M + 3S); same no-case contract as
+    _p_madd_pure."""
+    nd = tabs2[2]
+    X1, Y1, Z1 = p1
+    X2, Y2 = p2xy
+
+    def mul(x, y):
+        return _f_mul2(x, y, tabs2, friendly)
+
+    def sqr(x):
+        return _f_sqr2(x, tabs2, friendly)
+
+    Z1Z1 = sqr(Z1)
+    A2 = mul(Y2, Z1)
+    U2 = mul(X2, Z1Z1)
+    S2 = mul(A2, Z1Z1)
+    H = _sub_mod(U2, X1, nd)
+    R = _sub_mod(S2, Y1, nd)
+    HH = sqr(H)
+    RR = sqr(R)
+    HHH = mul(H, HH)
+    V = mul(X1, HH)
+    Z3 = mul(Z1, H)
+    X3 = _sub_mod(_sub_mod(RR, HHH, nd), _add_mod(V, V, nd), nd)
+    Y3 = _sub_mod(mul(R, _sub_mod(V, X3, nd)),
+                  mul(Y1, HHH), nd)
+    return (X3, Y3, Z3)
+
+
+def _p_add_pure2(p1, p2, tabs2, friendly):
+    """v2 raw full add (12M + 4S); same contract as _p_add_pure."""
+    nd = tabs2[2]
+    X1, Y1, Z1 = p1
+    X2, Y2, Z2 = p2
+
+    def mul(x, y):
+        return _f_mul2(x, y, tabs2, friendly)
+
+    def sqr(x):
+        return _f_sqr2(x, tabs2, friendly)
+
+    Z1Z1 = sqr(Z1)
+    Z2Z2 = sqr(Z2)
+    A1 = mul(Y1, Z2)
+    A2 = mul(Y2, Z1)
+    U1 = mul(X1, Z2Z2)
+    U2 = mul(X2, Z1Z1)
+    S1 = mul(A1, Z2Z2)
+    S2 = mul(A2, Z1Z1)
+    H = _sub_mod(U2, U1, nd)
+    R = _sub_mod(S2, S1, nd)
+    HH = sqr(H)
+    RR = sqr(R)
+    Z1Z2 = mul(Z1, Z2)
+    HHH = mul(H, HH)
+    V = mul(U1, HH)
+    Z3 = mul(Z1Z2, H)
+    X3 = _sub_mod(_sub_mod(RR, HHH, nd), _add_mod(V, V, nd), nd)
+    Y3 = _sub_mod(mul(R, _sub_mod(V, X3, nd)),
+                  mul(S1, HHH), nd)
+    return (X3, Y3, Z3)
+
+
+@lru_cache(maxsize=None)
+def _curve_tables2(fp: mont.Modulus):
+    """v2 kernel tables: widened Toeplitz REDC matrices (accepting
+    lo||hi 9-bit-folded input; cols 32..63 = one-digit-shifted constant
+    mod R) + modulus digits + R digits."""
+    def wide(val: int, rows: int):
+        base = mxu.toeplitz8_mats([val], rows)[0]
+        # hi columns carry an implied x256 = ONE-ROW shift of the same
+        # Toeplitz (NOT a value shift truncated mod 2^256 — that would
+        # drop the top byte of val, e.g. BN254's 0x30, from the integer
+        # product the second dot computes)
+        shift = np.zeros_like(base)
+        shift[1:, :] = base[:-1, :]
+        return np.concatenate([base, shift], axis=1).astype(np.float32)
+    nprime = (-pow(fp.n, -1, 1 << 256)) % (1 << 256)
+    nd = mxu._mod_digits(fp).reshape(ND, 1)
+    r_digits = np.asarray([(fp.r % fp.n) >> (8 * k) & 0xFF
+                           for k in range(ND)], np.uint32).reshape(ND, 1)
+    return (wide(nprime, ND).astype(jnp.bfloat16),
+            wide(fp.n, 2 * ND).astype(jnp.bfloat16),
+            np.ascontiguousarray(nd), r_digits)
+
+
+def _mont_friendly(fp: mont.Modulus) -> bool:
+    return 2 * fp.n < (1 << 256)
+
+
+def _table_specs2():
+    fixed = lambda *_: (0, 0)  # noqa: E731
+    return [
+        pl.BlockSpec((ND, 2 * ND), fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec((2 * ND, 2 * ND), fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec((ND, 1), fixed, memory_space=pltpu.VMEM),
+        pl.BlockSpec((ND, 1), fixed, memory_space=pltpu.VMEM),
+    ]
+
+
 def _f_is_zero(d):
     return jnp.sum(d.astype(jnp.int32), axis=0, keepdims=True) == 0
 
@@ -786,6 +997,13 @@ def fb_msm_groups(table: FbTable, scalars, nout: int,
     bt = table.bt
     B = max(bt, -(-B0 // bt) * bt)
     assert B % nout == 0, "groups must tile the padded lane width"
+    g = B // nout
+    # the lane-halving reduce drops lanes for non-pow2 group widths (the
+    # same class as the pippenger bt guard), and with nout > 1 padding
+    # must not shift the caller's group boundaries
+    assert g & (g - 1) == 0, f"group width must be a power of two: {g}"
+    assert nout == 1 or B0 % g == 0, \
+        f"B0={B0} must be a multiple of the group width {g} when nout>1"
     # padding lanes (zero scalars -> infinity points) land in the LAST
     # group and contribute the identity to its sum
     nwin = table.nbits // 4

@@ -14,9 +14,13 @@ a lane-parallel select-accumulate:
   nb = 2^(c-1) buckets per lane are needed; the sign costs one cheap
   y-negation select per step.
 - Per window w (grid dim 0), every lane keeps its nb Jacobian buckets
-  in the kernel's OUTPUT block in VMEM. One grid step = ONE batched
-  point add into the digit-selected bucket (branchless nb-way select
-  for read and writeback).
+  in VMEM SCRATCH for the whole window, DMAed to/from HBM once per
+  window (v3; round 3's revisited output block cost ~3 ms of Mosaic
+  double-buffer machinery per window boundary and 2x the VMEM). One
+  grid step = ONE batched point add into the digit-selected bucket
+  (branchless nb-way select for read and writeback), using the v2
+  field core (Karatsuba-hybrid conv + wide-dot REDC + squaring
+  specialization — pallas_curve._p_madd_pure2).
 - Buckets are initialized to BLINDING points D_s = d_s * G with secret
   per-process scalars d_s (distinct per slot). Accumulators are then
   never the point at infinity and never equal an incoming point except
@@ -75,83 +79,68 @@ def _digit_row(dig, k):
     return jnp.sum(jnp.where(rowid == k % 8, sub, 0), axis=0)[None]
 
 
-def _bucket_read(ox, oy, oz, slot, nb):
-    out = []
-    for buf in (ox, oy, oz):
-        acc = jnp.zeros_like(buf[0, 0])
-        for s in range(1, nb + 1):
-            acc = acc | jnp.where(slot == s, buf[0, s - 1], np.uint32(0))
-        out.append(acc)
-    return tuple(out)
-
-
-def _bucket_write(ox, oy, oz, slot, new, nb):
-    for s in range(1, nb + 1):
-        m = slot == s
-        ox[0, s - 1] = jnp.where(m, new[0], ox[0, s - 1])
-        oy[0, s - 1] = jnp.where(m, new[1], oy[0, s - 1])
-        oz[0, s - 1] = jnp.where(m, new[2], oz[0, s - 1])
-
-
-def _pip_kernel(steps, nb, affine, *refs):
-    if affine:
-        (px, py, dig, dx, dy,
-         mN__r, mN_r, nd_r, rd_r, ox, oy, oz) = refs
+def _pip_kernel_v3(steps, nb, affine, carry, friendly, *refs):
+    """v3 bucket kernel: buckets live in VMEM SCRATCH for the whole
+    window and are DMAed to HBM once per window. Round 3 kept them in a
+    revisited output block, which Mosaic double-buffers — 12 MB of VMEM
+    at bt=512/nb=32 and a measured ~3 ms stall per window boundary
+    (profile_msm_kernel.py). Scratch + manual DMA removes both. Point
+    ops use the v2 field core (Karatsuba conv + wide-dot REDC,
+    pallas_curve._p_madd_pure2)."""
+    ncoord = 2 if affine else 3
+    pt = refs[:ncoord]
+    dig = refs[ncoord]
+    if carry:
+        bxi, byi, bzi = refs[ncoord + 1:ncoord + 4]
+        tabs = tuple(r[:] for r in refs[ncoord + 4:ncoord + 8])
+        (ox, oy, oz, sx, sy, sz, sems) = refs[ncoord + 8:]
     else:
-        (px, py, pz, dig, dx, dy,
-         mN__r, mN_r, nd_r, rd_r, ox, oy, oz) = refs
+        dx, dy = refs[ncoord + 1:ncoord + 3]
+        tabs = tuple(r[:] for r in refs[ncoord + 3:ncoord + 7])
+        (ox, oy, oz, sx, sy, sz, sems) = refs[ncoord + 7:]
+    w = pl.program_id(0)
     k = pl.program_id(1)
-    tabs = (mN__r[:], mN_r[:], nd_r[:], rd_r[:])
     nd, rd = tabs[2], tabs[3]
-    zero = px[0] & np.uint32(0)                # (ND, bt)
+    zero = pt[0][0] & np.uint32(0)             # (ND, bt)
 
     @pl.when(k == 0)
     def _init():
-        # blinding points are affine (z = R); (ND, 1) columns broadcast
-        for s in range(nb):
-            ox[0, s] = dx[s] + zero
-            oy[0, s] = dy[s] + zero
-            oz[0, s] = rd + zero
+        if carry:
+            cx = pltpu.make_async_copy(bxi.at[w], sx, sems.at[0])
+            cy = pltpu.make_async_copy(byi.at[w], sy, sems.at[1])
+            cz = pltpu.make_async_copy(bzi.at[w], sz, sems.at[2])
+            cx.start()
+            cy.start()
+            cz.start()
+            cx.wait()
+            cy.wait()
+            cz.wait()
+        else:
+            # blinding points are affine (z = R); (ND, 1) columns broadcast
+            for s in range(nb):
+                sx[s] = dx[s] + zero
+                sy[s] = dy[s] + zero
+                sz[s] = rd + zero
 
     v = _digit_row(dig[0], k)                  # (1, bt) i32
     slot = (v & (_SIGN - 1)).astype(jnp.uint32)
     sgn = v >> 7
-    cur = _bucket_read(ox, oy, oz, slot, nb)
-    yneg = _sub_mod(zero, py[0], nd)           # valid points have y != 0
-    ysel = jnp.where(sgn != 0, yneg, py[0])
+    cur = _scratch_read(sx, sy, sz, slot, nb)
+    yneg = _sub_mod(zero, pt[1][0], nd)        # valid points have y != 0
+    ysel = jnp.where(sgn != 0, yneg, pt[1][0])
     if affine:
-        new = pc._p_madd_pure(cur, (px[0], ysel), tabs)
+        new = pc._p_madd_pure2(cur, (pt[0][0], ysel), tabs, friendly)
     else:
-        new = pc._p_add_pure(cur, (px[0], ysel, pz[0]), tabs)
+        new = pc._p_add_pure2(cur, (pt[0][0], ysel, pt[2][0]), tabs,
+                              friendly)
     # slot 0 (zero digit, padding, infinity input) writes nowhere
-    _bucket_write(ox, oy, oz, slot, new, nb)
+    _scratch_write(sx, sy, sz, slot, new, nb)
 
-
-def _pip_kernel_carry(steps, nb, affine, *refs):
-    """Continuation kernel for the pipelined path: bucket state arrives
-    in HBM (aliased with the output buffer) and is DMAed into the VMEM
-    output block at each window's first step — keeping it as a VMEM
-    input block would double the bucket footprint and blow the ~16 MB
-    VMEM budget. Point chunks can then stream host->HBM while earlier
-    chunks accumulate (the tunnel transfer is ~half the unpipelined
-    wall at 2^20)."""
-    if affine:
-        (px, py, dig, bxi, byi, bzi,
-         mN__r, mN_r, nd_r, rd_r, ox, oy, oz, smx, smy, smz) = refs
-    else:
-        (px, py, pz, dig, bxi, byi, bzi,
-         mN__r, mN_r, nd_r, rd_r, ox, oy, oz, smx, smy, smz) = refs
-    w = pl.program_id(0)
-    k = pl.program_id(1)
-    tabs = (mN__r[:], mN_r[:], nd_r[:], rd_r[:])
-    nd = tabs[2]
-    zero = px[0] & np.uint32(0)
-
-    @pl.when(k == 0)
-    def _init():
-        cx = pltpu.make_async_copy(bxi.at[w], ox.at[0], smx)
-        cy = pltpu.make_async_copy(byi.at[w], oy.at[0], smy)
-        cz = pltpu.make_async_copy(bzi.at[w], oz.at[0], smz)
+    @pl.when(k == steps - 1)
+    def _flush():
+        cx = pltpu.make_async_copy(sx, ox.at[w], sems.at[0])
+        cy = pltpu.make_async_copy(sy, oy.at[w], sems.at[1])
+        cz = pltpu.make_async_copy(sz, oz.at[w], sems.at[2])
         cx.start()
         cy.start()
         cz.start()
@@ -159,72 +148,62 @@ def _pip_kernel_carry(steps, nb, affine, *refs):
         cy.wait()
         cz.wait()
 
-    v = _digit_row(dig[0], k)
-    slot = (v & (_SIGN - 1)).astype(jnp.uint32)
-    sgn = v >> 7
-    cur = _bucket_read(ox, oy, oz, slot, nb)
-    yneg = _sub_mod(zero, py[0], nd)
-    ysel = jnp.where(sgn != 0, yneg, py[0])
-    if affine:
-        new = pc._p_madd_pure(cur, (px[0], ysel), tabs)
-    else:
-        new = pc._p_add_pure(cur, (px[0], ysel, pz[0]), tabs)
-    _bucket_write(ox, oy, oz, slot, new, nb)
+
+def _scratch_read(sx, sy, sz, slot, nb):
+    out = []
+    for buf in (sx, sy, sz):
+        acc = jnp.zeros_like(buf[0])
+        for s in range(1, nb + 1):
+            acc = acc | jnp.where(slot == s, buf[s - 1], np.uint32(0))
+        out.append(acc)
+    return tuple(out)
 
 
-@lru_cache(maxsize=None)
-def _pip_call_carry(nwin: int, steps: int, bt: int, nb: int, affine: bool,
-                    interpret: bool):
-    pspec = pl.BlockSpec((1, ND, bt), lambda w, k: (k, 0, 0),
-                         memory_space=pltpu.VMEM)
-    dspec = pl.BlockSpec((1, 8, bt), lambda w, k: (w, k // 8, 0),
-                         memory_space=pltpu.VMEM)
-    hspec = pl.BlockSpec(memory_space=pltpu.ANY)   # bucket state: HBM
-    ospec = pl.BlockSpec((1, nb, ND, bt), lambda w, k: (w, 0, 0, 0),
-                         memory_space=pltpu.VMEM)
-    out = jax.ShapeDtypeStruct((nwin, nb, ND, bt), jnp.uint32)
-    ncoord = 2 if affine else 3
-    nin = ncoord + 1
-    return jax.jit(pl.pallas_call(
-        partial(_pip_kernel_carry, steps, nb, affine),
-        grid=(nwin, steps),
-        in_specs=[pspec] * ncoord + [dspec] + [hspec] * 3
-        + pc._table_specs(),
-        out_specs=(ospec,) * 3,
-        out_shape=(out,) * 3,
-        input_output_aliases={nin: 0, nin + 1: 1, nin + 2: 2},
-        scratch_shapes=[pltpu.SemaphoreType.DMA] * 3,
-        interpret=interpret,
-    ))
+def _scratch_write(sx, sy, sz, slot, new, nb):
+    for s in range(1, nb + 1):
+        m = slot == s
+        sx[s - 1] = jnp.where(m, new[0], sx[s - 1])
+        sy[s - 1] = jnp.where(m, new[1], sy[s - 1])
+        sz[s - 1] = jnp.where(m, new[2], sz[s - 1])
 
 
 @lru_cache(maxsize=None)
 def _pip_call(nwin: int, steps: int, bt: int, nb: int, affine: bool,
-              interpret: bool):
+              carry: bool, friendly: bool, interpret: bool):
     pspec = pl.BlockSpec((1, ND, bt), lambda w, k: (k, 0, 0),
                          memory_space=pltpu.VMEM)
     dspec = pl.BlockSpec((1, 8, bt), lambda w, k: (w, k // 8, 0),
                          memory_space=pltpu.VMEM)
     bspec = pl.BlockSpec((nb, ND, 1), lambda w, k: (0, 0, 0),
                          memory_space=pltpu.VMEM)
-    ospec = pl.BlockSpec((1, nb, ND, bt), lambda w, k: (w, 0, 0, 0),
-                         memory_space=pltpu.VMEM)
+    hspec = pl.BlockSpec(memory_space=pltpu.ANY)   # bucket state: HBM
     out = jax.ShapeDtypeStruct((nwin, nb, ND, bt), jnp.uint32)
     ncoord = 2 if affine else 3
+    nin = ncoord + 1
+    if carry:
+        in_specs = [pspec] * ncoord + [dspec] + [hspec] * 3 \
+            + pc._table_specs2()
+        aliases = {nin: 0, nin + 1: 1, nin + 2: 2}
+    else:
+        in_specs = [pspec] * ncoord + [dspec] + [bspec] * 2 \
+            + pc._table_specs2()
+        aliases = {}
     return jax.jit(pl.pallas_call(
-        partial(_pip_kernel, steps, nb, affine),
+        partial(_pip_kernel_v3, steps, nb, affine, carry, friendly),
         grid=(nwin, steps),
-        in_specs=[pspec] * ncoord + [dspec] + [bspec] * 2
-        + pc._table_specs(),
-        out_specs=(ospec,) * 3,
+        in_specs=in_specs,
+        out_specs=(hspec,) * 3,
         out_shape=(out,) * 3,
+        input_output_aliases=aliases,
+        scratch_shapes=[pltpu.VMEM((nb, ND, bt), jnp.uint32)] * 3
+        + [pltpu.SemaphoreType.DMA((3,))],
         interpret=interpret,
     ))
 
 
 # --- suffix-run bucket fold --------------------------------------------------
 
-def _fold_kernel(nb, px, py, pz, mN__ref, mN_ref, nd_ref, rd_ref,
+def _fold_kernel(nb, friendly, px, py, pz, w__ref, w_ref, nd_ref, rd_ref,
                  ox, oy, oz, rx, ry, rz, ax, ay, az):
     """Suffix-run bucket fold sum_s s*B_s (ecmult_impl.h:700-714) as its
     own tiny Pallas kernel: grid (nwin, nb) walks s = nb..1 with TWO
@@ -232,9 +211,9 @@ def _fold_kernel(nb, px, py, pz, mN__ref, mN_ref, nd_ref, rd_ref,
     unrolled in-kernel chain or an XLA limb-path fold are 10-40x slower
     to compile / execute respectively. Buckets are blinded (never
     infinity, never equal except negligibly), so the adds are the raw
-    16-mul formula."""
+    v2 full-add formula (12M + 4S)."""
     k = pl.program_id(1)
-    tabs = (mN__ref[:], mN_ref[:], nd_ref[:], rd_ref[:])
+    tabs = (w__ref[:], w_ref[:], nd_ref[:], rd_ref[:])
     tile = (px[0, 0], py[0, 0], pz[0, 0])
 
     @pl.when(k == 0)
@@ -244,9 +223,11 @@ def _fold_kernel(nb, px, py, pz, mN__ref, mN_ref, nd_ref, rd_ref,
 
     @pl.when(k > 0)
     def _step():
-        run = pc._p_add_pure((rx[...], ry[...], rz[...]), tile, tabs)
+        run = pc._p_add_pure2((rx[...], ry[...], rz[...]), tile, tabs,
+                              friendly)
         rx[...], ry[...], rz[...] = run
-        acc = pc._p_add_pure((ax[...], ay[...], az[...]), run, tabs)
+        acc = pc._p_add_pure2((ax[...], ay[...], az[...]), run, tabs,
+                              friendly)
         ax[...], ay[...], az[...] = acc
 
     @pl.when(k == nb - 1)
@@ -255,7 +236,8 @@ def _fold_kernel(nb, px, py, pz, mN__ref, mN_ref, nd_ref, rd_ref,
 
 
 @lru_cache(maxsize=None)
-def _fold_call(nwin: int, bt: int, nb: int, interpret: bool):
+def _fold_call(nwin: int, bt: int, nb: int, friendly: bool,
+               interpret: bool):
     bspec = pl.BlockSpec((1, 1, ND, bt), lambda w, k: (w, nb - 1 - k, 0, 0),
                          memory_space=pltpu.VMEM)
     ospec = pl.BlockSpec((1, ND, bt), lambda w, k: (w, 0, 0),
@@ -263,9 +245,9 @@ def _fold_call(nwin: int, bt: int, nb: int, interpret: bool):
     out = jax.ShapeDtypeStruct((nwin, ND, bt), jnp.uint32)
     scratch = [pltpu.VMEM((ND, bt), jnp.uint32)] * 6
     return jax.jit(pl.pallas_call(
-        partial(_fold_kernel, nb),
+        partial(_fold_kernel, nb, friendly),
         grid=(nwin, nb),
-        in_specs=[bspec] * 3 + pc._table_specs(),
+        in_specs=[bspec] * 3 + pc._table_specs2(),
         out_specs=(ospec,) * 3,
         out_shape=(out,) * 3,
         scratch_shapes=scratch,
@@ -354,6 +336,26 @@ def _prep_fn(npad: int, steps: int, bt: int, c: int, nwin: int,
     return f
 
 
+_FLEET_SEED: int | None = None
+
+
+def share_fleet_seed() -> int:
+    """Broadcast a full 256-bit blinding seed from process 0 to the
+    fleet. MUST be called at a known synchronization point (mesh/
+    distributed init — parallel/multihost.init_distributed does) BEFORE
+    any MSM: running the collective lazily inside _blinding's lru_cache
+    meant processes reaching their first MSM at different points in the
+    collective order could mismatch/deadlock, and the old 64-bit seed
+    weakened the negligible-collision argument."""
+    global _FLEET_SEED
+    if _FLEET_SEED is None:
+        from jax.experimental import multihost_utils
+        ent = np.frombuffer(os.urandom(32), np.uint64)
+        ent = np.asarray(multihost_utils.broadcast_one_to_all(ent))
+        _FLEET_SEED = int.from_bytes(ent.tobytes(), "little")
+    return _FLEET_SEED
+
+
 @lru_cache(maxsize=None)
 def _blinding(ops: CurveOps, nb: int):
     """Per-slot blinding points D_s = d_s * G (secret d_s) as (nb, ND, 1)
@@ -364,12 +366,9 @@ def _blinding(ops: CurveOps, nb: int):
         rng = random.Random(int(seed))
     elif jax.process_count() > 1:
         # multi-process SPMD: every process must derive the SAME blinding
-        # (host protocol state replicates across the fleet) — broadcast
-        # process 0's entropy; still secret from MSM-input adversaries
-        from jax.experimental import multihost_utils
-        ent = np.frombuffer(os.urandom(8), np.uint64).reshape(())
-        rng = random.Random(
-            int(multihost_utils.broadcast_one_to_all(ent)))
+        # (host protocol state replicates across the fleet); the seed was
+        # broadcast eagerly at distributed-init time
+        rng = random.Random(share_fleet_seed())
     else:
         rng = random.SystemRandom()
     cv = ops.curve
@@ -448,7 +447,8 @@ def pippenger_msm(ops: CurveOps, points: JacPoint, scalars,
                   and _is_affine_host(ops, points.z))
 
     dx, dy, tsum = _blinding(ops, nb)
-    tabs = [jnp.asarray(t) for t in pc._curve_tables(ops.fp)]
+    friendly = pc._mont_friendly(ops.fp)
+    tabs = [jnp.asarray(t) for t in pc._curve_tables2(ops.fp)]
     csteps = int(os.environ.get("PORLA_MSM_CHUNK", "256"))
     host_in = isinstance(points.x, np.ndarray)
     pipelined = host_in and steps > csteps
@@ -456,7 +456,7 @@ def pippenger_msm(ops: CurveOps, points: JacPoint, scalars,
     if pipelined:
         # chunk the host->device stream so transfers of chunk i+1
         # overlap the bucket kernel of chunk i (bucket state carried
-        # through aliased in/out blocks)
+        # through aliased in/out HBM buffers)
         nchunks = -(-steps // csteps)
         steps = nchunks * csteps
         npad = steps * bt
@@ -472,8 +472,10 @@ def pippenger_msm(ops: CurveOps, points: JacPoint, scalars,
         sh = pad16(scalars)
         cpts = csteps * bt
         prep = _prep_fn(cpts, csteps, bt, c, nwin, affine)
-        first = _pip_call(nwin, csteps, bt, nb, affine, interpret)
-        carry = _pip_call_carry(nwin, csteps, bt, nb, affine, interpret)
+        first = _pip_call(nwin, csteps, bt, nb, affine, False, friendly,
+                          interpret)
+        carry = _pip_call(nwin, csteps, bt, nb, affine, True, friendly,
+                          interpret)
         bufs = None
         for ci in range(nchunks):
             sl = slice(ci * cpts, (ci + 1) * cpts)
@@ -502,10 +504,12 @@ def pippenger_msm(ops: CurveOps, points: JacPoint, scalars,
               else pc._pad_to_dev(jnp.asarray(scalars), npad))
 
         prepped = _prep_fn(npad, steps, bt, c, nwin, affine)(x, y, z, sc)
-        fn = _pip_call(nwin, steps, bt, nb, affine, interpret)
+        fn = _pip_call(nwin, steps, bt, nb, affine, False, friendly,
+                       interpret)
         sx, sy, sz = fn(*prepped, dx, dy, *tabs)
 
-    fx, fy, fz = _fold_call(nwin, bt, nb, interpret)(sx, sy, sz, *tabs)
+    fx, fy, fz = _fold_call(nwin, bt, nb, friendly, interpret)(
+        sx, sy, sz, *tabs)
     lx = mxu.limbs_from_digits(jnp, jnp.moveaxis(fx, 1, 2))
     ly = mxu.limbs_from_digits(jnp, jnp.moveaxis(fy, 1, 2))
     lz = mxu.limbs_from_digits(jnp, jnp.moveaxis(fz, 1, 2))

@@ -42,6 +42,11 @@ def init_distributed(coordinator: str, num_processes: int,
     jax.distributed.initialize(coordinator_address=coordinator,
                                num_processes=num_processes,
                                process_id=process_id)
+    # derive the fleet-shared MSM blinding seed HERE — a known
+    # synchronization point — so no collective runs lazily inside the
+    # first pippenger_msm call (see pallas_msm.share_fleet_seed)
+    from porla_tpu.curves import pallas_msm
+    pallas_msm.share_fleet_seed()
 
 
 def make_mesh(tp: int | None = None) -> Mesh:
