@@ -45,9 +45,12 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
-    # see multihost.init_distributed: cache-hit AOT executables break
-    # cross-process dispatch lockstep
-    jax.config.update("jax_enable_compilation_cache", False)
+    # the persistent compilation cache stays ON: every collective-
+    # bearing program is dispatched through multihost.lockstep, which
+    # fences the fleet on the coordination service after AOT compile,
+    # so cache-hit skew between processes cannot strand a collective
+    # rendezvous (round 3 disabled the cache instead — 448 s inits)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     from porla_tpu.parallel import multihost
 

@@ -22,6 +22,8 @@ end-to-end with two real OS processes on one machine.
 
 from __future__ import annotations
 
+import hashlib
+
 import jax
 import numpy as np
 from jax.sharding import Mesh
@@ -32,13 +34,13 @@ def init_distributed(coordinator: str, num_processes: int,
     """Join the multi-host cluster. Call ONCE per process before any
     device use. coordinator: "host:port" of process 0.
 
-    NOTE: keep the persistent compilation cache DISABLED in multi-
-    process runs (run_multihost.py does this). A process that hits the
-    cache loads an AOT executable whose dispatch ordering differs from
-    a fresh JIT compile; the two processes then sit in DIFFERENT
-    collectives and the Gloo context rendezvous times out after ~30 s.
-    With the cache off, all processes compile in lockstep on identical
-    hardware and stay synchronized."""
+    The persistent compilation cache may stay ENABLED: every
+    collective-bearing program goes through `lockstep` (below), which
+    compiles ahead of time and then fences the fleet on the
+    coordination service before the first dispatch, so cache-hit /
+    compile-time skew between processes can never strand one process
+    inside a collective rendezvous (whose Gloo/ICI timeout is ~30 s,
+    far less than a cold XLA compile)."""
     jax.distributed.initialize(coordinator_address=coordinator,
                                num_processes=num_processes,
                                process_id=process_id)
@@ -47,6 +49,52 @@ def init_distributed(coordinator: str, num_processes: int,
     # first pippenger_msm call (see pallas_msm.share_fleet_seed)
     from porla_tpu.curves import pallas_msm
     pallas_msm.share_fleet_seed()
+
+
+def barrier(tag: str, timeout_s: float = 3600.0) -> None:
+    """Fleet-wide barrier on the jax.distributed COORDINATION SERVICE
+    (gRPC) — not a device collective, so it tolerates arbitrary
+    compile-time skew between processes (a device-collective barrier
+    such as multihost_utils.sync_global_devices would itself hit the
+    ~30 s rendezvous timeout while a peer is still compiling).
+    No-op in single-process runs."""
+    if jax.process_count() <= 1:
+        return
+    from jax._src import distributed
+    client = distributed.global_state.client
+    assert client is not None, "jax.distributed not initialized"
+    client.wait_at_barrier(f"porla:{tag}", int(timeout_s * 1000))
+
+
+def lockstep(fn, tag: str):
+    """Wrap a jitted collective-bearing function for multi-process
+    safety with the compilation cache ON.
+
+    On the first call with a new argument signature: AOT-compile
+    (hits the persistent cache when warm), then `barrier` so every
+    process holds the executable BEFORE any process dispatches it.
+    Without the fence, a cache-hitting process enters the program's
+    first collective immediately while a cache-missing peer compiles
+    for minutes, and the collective rendezvous times out (the round-3
+    workaround was disabling the cache fleet-wide — 448 s to
+    initialize n=16 on 2 CPU processes; see MULTIHOST_r03.json).
+    Single-process calls pass straight through."""
+    compiled: dict = {}
+
+    def wrapped(*args):
+        if jax.process_count() <= 1:
+            return fn(*args)
+        leaves = jax.tree_util.tree_leaves(args)
+        key = tuple((tuple(np.shape(a)), str(np.result_type(
+            a.dtype if hasattr(a, "dtype") else a))) for a in leaves)
+        exe = compiled.get(key)
+        if exe is None:
+            exe = fn.lower(*args).compile()
+            h = hashlib.sha256(repr((tag, key)).encode()).hexdigest()[:16]
+            barrier(f"compile:{tag}:{h}")
+            compiled[key] = exe
+        return exe(*args)
+    return wrapped
 
 
 def make_mesh(tp: int | None = None) -> Mesh:

@@ -34,6 +34,7 @@ from porla_tpu.curves.weierstrass import JacPoint
 from porla_tpu.fields import constants as C
 from porla_tpu.fields import limbs, mont
 from porla_tpu.ntt.engine import NttContext, _MOD_P
+from porla_tpu.parallel.multihost import lockstep
 
 
 def stage(mesh: Mesh, a, spec) -> jax.Array:
@@ -147,7 +148,8 @@ def sharded_encode_fn(ctx: NttContext, mesh: Mesh, mod: mont.Modulus):
     fn = jax.shard_map(body, mesh=mesh,
                        in_specs=(spec_a,) + (spec_t,) * (height - 1),
                        out_specs=spec_a)
-    return jax.jit(fn)
+    return lockstep(jax.jit(fn),
+                    f"encode:n{n}:b{nblk}:{'p' if mod is _MOD_P else 'q'}")
 
 
 def stage_twiddle_tables_std(ctx: NttContext):
@@ -231,10 +233,11 @@ def sharded_point_stage_fn(ctx: NttContext, mesh: Mesh, ops=None,
                     jnp.where(am_hi, hi.z, lo.z))
 
         body = local_stage if m <= n_loc else exchange_stage
-        return jax.jit(jax.shard_map(
+        return lockstep(jax.jit(jax.shard_map(
             body, mesh=mesh,
             in_specs=(P("blocks"),) * 4,
-            out_specs=(P("blocks"),) * 3))
+            out_specs=(P("blocks"),) * 3)),
+            f"pstage:n{n}:s{s}:b{nblk}:{nbits}")
 
     return {s: make(s) for s in range(1, ctx.height)}
 
@@ -263,7 +266,7 @@ def sharded_msm_fn(mesh: Mesh, nbits: int = 256, ops=None):
         in_specs=(P("blocks"), P("blocks"), P("blocks"), P("blocks")),
         out_specs=(P(), P(), P()),
         check_vma=False)
-    return jax.jit(fn)
+    return lockstep(jax.jit(fn), f"smsm:b{nblk}:{nbits}")
 
 
 def sharded_commit_fn(mesh: Mesh, nbits: int = 256, ops=None):
@@ -297,4 +300,4 @@ def sharded_commit_fn(mesh: Mesh, nbits: int = 256, ops=None):
                   P("blocks", "chunks")),
         out_specs=(P("blocks"), P("blocks"), P("blocks")),
         check_vma=False)
-    return jax.jit(fn)
+    return lockstep(jax.jit(fn), f"scommit:{nbits}")

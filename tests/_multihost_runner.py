@@ -3,11 +3,19 @@ jax.distributed cluster (CPU backend, 4 virtual devices per process).
 Runs the distributed NTT over the global 8-device mesh and checks the
 gathered result against the single-host golden stage loop.
 
+The persistent compilation cache is ON (multihost.lockstep fences the
+fleet around compiles — the round-3 design disabled the cache instead).
+PORLA_MH_SKEW_S=<seconds> makes proc 1 sleep that long before the
+collective call, simulating cache-hit/compile skew beyond the Gloo
+rendezvous window (~30 s): only the coordination-service barrier in
+lockstep survives that.
+
 Usage: python _multihost_runner.py <proc_id> <nproc> <port>
 """
 
 import os
 import sys
+import time
 
 
 def main():
@@ -16,10 +24,13 @@ def main():
              if "xla_force_host_platform_device_count" not in f]
     flags.append("--xla_force_host_platform_device_count=4")
     os.environ["XLA_FLAGS"] = " ".join(flags)
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                          os.path.expanduser("~/.jax_cache"))
 
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 
     import jax.numpy as jnp
     import numpy as np
@@ -51,6 +62,9 @@ def main():
 
     tables = sharded.stage_twiddle_tables(ctx, _MOD_P)
     enc = sharded.sharded_encode_fn(ctx, mesh, _MOD_P)
+    skew = float(os.environ.get("PORLA_MH_SKEW_S", "0"))
+    if skew and proc_id == 1:
+        time.sleep(skew)
     out = enc(gput(arr), *[gput(np.asarray(t)) for t in tables])
 
     got = multihost_utils.process_allgather(out, tiled=True)

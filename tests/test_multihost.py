@@ -55,7 +55,7 @@ def test_two_process_protocol_epoch():
         assert "audit PASSED" in outs[i]
 
 
-def test_two_process_distributed_ntt():
+def _run_ntt_cluster(extra_env=None, timeout=600):
     port = _free_port()
     runner = os.path.join(os.path.dirname(__file__),
                           "_multihost_runner.py")
@@ -63,6 +63,7 @@ def test_two_process_distributed_ntt():
     env["PYTHONPATH"] = (os.path.dirname(os.path.dirname(runner))
                          + os.pathsep + env.get("PYTHONPATH", ""))
     env.pop("JAX_PLATFORMS", None)
+    env.update(extra_env or {})
     procs = [subprocess.Popen(
         [sys.executable, runner, str(i), "2", str(port)],
         stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env)
@@ -70,7 +71,7 @@ def test_two_process_distributed_ntt():
     outs = []
     try:
         for p in procs:
-            out, _ = p.communicate(timeout=600)
+            out, _ = p.communicate(timeout=timeout)
             outs.append(out.decode(errors="replace"))
     finally:
         for p in procs:
@@ -80,3 +81,21 @@ def test_two_process_distributed_ntt():
         assert p.returncode == 0, \
             f"proc {i} rc={p.returncode}\n{outs[i][-2000:]}"
         assert "golden-checked" in outs[i]
+
+
+def test_two_process_distributed_ntt():
+    """Persistent compile cache ON: collective programs dispatch through
+    multihost.lockstep (AOT compile + coordination-service fence)."""
+    _run_ntt_cluster()
+
+
+def test_two_process_compile_skew_tolerance():
+    """Nightly: proc 1 sleeps 40 s (> the ~30 s Gloo rendezvous window
+    that killed the round-3 cache-on runs) before the collective call;
+    lockstep's coordination-service barrier must absorb the skew
+    instead of proc 0 timing out inside the collective."""
+    import pytest
+    pytest.importorskip("jax")
+    if os.environ.get("PORLA_SLOW_TESTS") != "1":
+        pytest.skip("set PORLA_SLOW_TESTS=1 (40 s injected skew)")
+    _run_ntt_cluster(extra_env={"PORLA_MH_SKEW_S": "40"}, timeout=900)
