@@ -65,7 +65,10 @@ from porla_tpu.ntt import mxu
 from porla_tpu.ntt.mxu import ND
 from porla_tpu.ntt.pallas_stage import _sub_mod
 
-_SIGN = 128  # sign flag in the packed digit (slot | sign)
+_SIGN = 256  # sign flag in the packed digit (slot | sign); bit 8, NOT
+# bit 7: signed width-c digits reach |d| = 2^(c-1), which at c=8 is
+# exactly 128 and would collide with a bit-7 flag (caught by the bench
+# golden check when first enabling c=8)
 
 
 # --- bucket-accumulate kernels ----------------------------------------------
@@ -117,14 +120,15 @@ def _pip_kernel_v3(steps, nb, affine, carry, friendly, *refs):
             cz.wait()
         else:
             # blinding points are affine (z = R); (ND, 1) columns broadcast
+            z8 = zero.astype(jnp.uint8)
             for s in range(nb):
-                sx[s] = dx[s] + zero
-                sy[s] = dy[s] + zero
-                sz[s] = rd + zero
+                sx[s] = dx[s].astype(jnp.uint8) + z8
+                sy[s] = dy[s].astype(jnp.uint8) + z8
+                sz[s] = rd.astype(jnp.uint8) + z8
 
     v = _digit_row(dig[0], k)                  # (1, bt) i32
     slot = (v & (_SIGN - 1)).astype(jnp.uint32)
-    sgn = v >> 7
+    sgn = v >> 8
     cur = _scratch_read(sx, sy, sz, slot, nb)
     yneg = _sub_mod(zero, pt[1][0], nd)        # valid points have y != 0
     ysel = jnp.where(sgn != 0, yneg, pt[1][0])
@@ -150,21 +154,26 @@ def _pip_kernel_v3(steps, nb, affine, carry, friendly, *refs):
 
 
 def _scratch_read(sx, sy, sz, slot, nb):
+    """nb-way bucket read. Scratch holds byte digits as u8 (coordinates
+    are 0..255 per limb row), so each of the 3*nb masked ORs moves a
+    quarter of the u32 data — the select machinery is the per-step cost
+    that made nb=128 lose at u32 (770k vs 851k pts/s at c=7/u32)."""
     out = []
     for buf in (sx, sy, sz):
         acc = jnp.zeros_like(buf[0])
         for s in range(1, nb + 1):
-            acc = acc | jnp.where(slot == s, buf[s - 1], np.uint32(0))
-        out.append(acc)
+            acc = acc | jnp.where(slot == s, buf[s - 1], np.uint8(0))
+        out.append(acc.astype(jnp.uint32))
     return tuple(out)
 
 
 def _scratch_write(sx, sy, sz, slot, new, nb):
+    n8 = tuple(v.astype(jnp.uint8) for v in new)
     for s in range(1, nb + 1):
         m = slot == s
-        sx[s - 1] = jnp.where(m, new[0], sx[s - 1])
-        sy[s - 1] = jnp.where(m, new[1], sy[s - 1])
-        sz[s - 1] = jnp.where(m, new[2], sz[s - 1])
+        sx[s - 1] = jnp.where(m, n8[0], sx[s - 1])
+        sy[s - 1] = jnp.where(m, n8[1], sy[s - 1])
+        sz[s - 1] = jnp.where(m, n8[2], sz[s - 1])
 
 
 @lru_cache(maxsize=None)
@@ -177,7 +186,7 @@ def _pip_call(nwin: int, steps: int, bt: int, nb: int, affine: bool,
     bspec = pl.BlockSpec((nb, ND, 1), lambda w, k: (0, 0, 0),
                          memory_space=pltpu.VMEM)
     hspec = pl.BlockSpec(memory_space=pltpu.ANY)   # bucket state: HBM
-    out = jax.ShapeDtypeStruct((nwin, nb, ND, bt), jnp.uint32)
+    out = jax.ShapeDtypeStruct((nwin, nb, ND, bt), jnp.uint8)
     ncoord = 2 if affine else 3
     nin = ncoord + 1
     if carry:
@@ -195,7 +204,7 @@ def _pip_call(nwin: int, steps: int, bt: int, nb: int, affine: bool,
         out_specs=(hspec,) * 3,
         out_shape=(out,) * 3,
         input_output_aliases=aliases,
-        scratch_shapes=[pltpu.VMEM((nb, ND, bt), jnp.uint32)] * 3
+        scratch_shapes=[pltpu.VMEM((nb, ND, bt), jnp.uint8)] * 3
         + [pltpu.SemaphoreType.DMA((3,))],
         interpret=interpret,
     ))
@@ -214,7 +223,8 @@ def _fold_kernel(nb, friendly, px, py, pz, w__ref, w_ref, nd_ref, rd_ref,
     v2 full-add formula (12M + 4S)."""
     k = pl.program_id(1)
     tabs = (w__ref[:], w_ref[:], nd_ref[:], rd_ref[:])
-    tile = (px[0, 0], py[0, 0], pz[0, 0])
+    tile = (px[0, 0].astype(jnp.uint32), py[0, 0].astype(jnp.uint32),
+            pz[0, 0].astype(jnp.uint32))
 
     @pl.when(k == 0)
     def _init():
@@ -387,19 +397,18 @@ def _blinding(ops: CurveOps, nb: int):
 
 def choose_c(n: int, nbits: int = 256) -> int:
     """Window width from point count — the measured policy table from
-    the on-chip sweep (MSM_r03.json): c=4 below 2^15 points (the
-    per-window fold and fixed dispatch overheads dominate, fewer
-    buckets win), c=6 above (bucket adds dominate; nb=32 is the
-    largest bucket file fitting VMEM at bt=512). Mirrors the
-    reference's bucket-window table (ecmult_impl.h:573-597). The
-    analytic cost model nwin(c) * [steps*(11 + select(nb)) + 2*nb*16]
-    ranks c5~c6 within 10%; measurement puts c6 ahead at every
-    N >= 2^16 (162.5k vs 153.6k pts/s at 2^16; 571.7k vs 335.3k at
-    2^20 pipelined), hence the pinned table."""
+    the on-chip sweeps (MSM_r03.json, MSM_r04.json): c=4 below 2^15
+    points (per-window fold and fixed dispatch overheads dominate,
+    fewer buckets win), c=7 above (bucket adds dominate; with the u8
+    bucket scratch the 64-way select stays cheap and nb=64 fits VMEM
+    at bt=512 with room to spare). Mirrors the reference's
+    bucket-window table (ecmult_impl.h:573-597). Round-4 sweep at
+    2^20 BN254 device-resident (pts/s): c6 857k, c7 917k, c8 902k,
+    all bt=512 u8; bt=256/1024 lose at every c."""
     env = os.environ.get("PORLA_MSM_C")
     if env:
         return int(env)
-    return 4 if n < (1 << 15) else 6
+    return 4 if n < (1 << 15) else 7
 
 
 _DEFAULT_BT = int(os.environ.get("PORLA_MSM_BT", "512"))

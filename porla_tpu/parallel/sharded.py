@@ -269,6 +269,102 @@ def sharded_msm_fn(mesh: Mesh, nbits: int = 256, ops=None):
     return lockstep(jax.jit(fn), f"smsm:b{nblk}:{nbits}")
 
 
+def sharded_pippenger_msm_fn(mesh: Mesh, ops=None, nbits: int = 256,
+                             n_local: int | None = None,
+                             c: int | None = None, bt: int | None = None,
+                             interpret: bool | None = None):
+    """Perf-grade DP MSM: the v3 Pippenger bucket kernel PER SHARD, with
+    a log-depth cross-shard window combine (round 3 routed sharded MSMs
+    through the windowed double-and-add path — correctness-grade only,
+    ~40x the per-point work of the bucket kernel at 2^20).
+
+    Returns (fn, finish):
+      fn(px, py, pz, sc): global (N, 16) arrays sharded on "blocks" ->
+        three (nwin, 16) arrays — per-window totals combined across
+        shards (replicated). All shards run the SAME kernel shapes
+        (SPMD), so the per-shard Pallas Pippenger composes with
+        shard_map directly.
+      finish(wx, wy, wz) -> host JacPoint (1,): the MSB-first Horner
+        over windows plus the exact blinding correction (each shard's
+        buckets start at the fleet-consistent blinding points, so the
+        correction scales by shards * lanes).
+
+    N must be divisible by mesh blocks; each shard pads its local slice
+    to lane tiles with zero-digit lanes (infinity-safe, as in
+    pippenger_msm)."""
+    import jax.numpy as jnp
+
+    from porla_tpu.curves import pallas_curve as pc
+    from porla_tpu.curves import pallas_msm as pm
+    from porla_tpu.golden import ecc
+    from porla_tpu.ntt import mxu
+
+    ops = ops or secp256k1()
+    nblk = mesh.shape["blocks"]
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    assert n_local is not None, "pass n_local = N // mesh blocks"
+    if bt is None:
+        bt = min(pm._DEFAULT_BT, max(128, 1 << (n_local - 1).bit_length()))
+    assert bt & (bt - 1) == 0
+    if c is None:
+        c = pm.choose_c(n_local, nbits)
+    nb = 1 << (c - 1)
+    steps = -(-n_local // bt)
+    npad = steps * bt
+    nwin = -(-nbits // c) + 1
+
+    dx, dy, tsum = pm._blinding(ops, nb)
+    friendly = pc._mont_friendly(ops.fp)
+    tabs = [jnp.asarray(t) for t in pc._curve_tables2(ops.fp)]
+    prep = pm._prep_fn(npad, steps, bt, c, nwin, False)
+    pip = pm._pip_call(nwin, steps, bt, nb, False, False, friendly,
+                       interpret)
+    fold = pm._fold_call(nwin, bt, nb, friendly, interpret)
+    reduce_fn = pm._reduce_fn(ops, nwin, bt)
+
+    def pad(a):
+        if npad != n_local:
+            a = jnp.concatenate(
+                [a, jnp.zeros((npad - n_local,) + a.shape[1:], a.dtype)], 0)
+        return a
+
+    def body(px, py, pz, sc):
+        prepped = prep(pad(px), pad(py), pad(pz), pad(sc))
+        bufs = pip(*prepped, dx, dy, *tabs)
+        fx, fy, fz = fold(*bufs, *tabs)
+        lx = mxu.limbs_from_digits(jnp, jnp.moveaxis(fx, 1, 2))
+        ly = mxu.limbs_from_digits(jnp, jnp.moveaxis(fy, 1, 2))
+        lz = mxu.limbs_from_digits(jnp, jnp.moveaxis(fz, 1, 2))
+        wx, wy, wz = reduce_fn(lx, ly, lz)      # (nwin, 16) each
+        gathered = jax.lax.all_gather((wx, wy, wz), "blocks")
+        acc = _halving_sum(ops, JacPoint(*gathered))   # (1, nwin, 16)
+        return acc.x[0], acc.y[0], acc.z[0]
+
+    fn = lockstep(jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P("blocks"),) * 4,
+        out_specs=(P(), P(), P()),
+        check_vma=False)), f"spip:{nbits}:{n_local}:{c}:{bt}")
+
+    def finish(wx, wy, wz) -> JacPoint:
+        from porla_tpu.curves import kernels as ck
+        host = ck.fetch_many([wx, wy, wz])
+        wins = ops.to_affine(JacPoint(*host))
+        cv = ops.curve
+        acc = wins[nwin - 1]
+        for wi in range(nwin - 2, -1, -1):
+            acc = ecc.add(cv, ecc.mul(cv, acc, 1 << c), wins[wi])
+        wsum = sum(1 << (c * w) for w in range(nwin)) % cv.n
+        kappa = (nblk * bt * wsum * tsum) % cv.n
+        acc = ecc.add(cv, acc, ecc.neg(cv, ecc.mul(cv, cv.g, kappa)))
+        out = ops.from_affine(np, [acc])
+        return JacPoint(np.asarray(out.x), np.asarray(out.y),
+                        np.asarray(out.z))
+
+    return fn, finish
+
+
 def sharded_commit_fn(mesh: Mesh, nbits: int = 256, ops=None):
     """Builds f(gx, gy, gz, scalars) -> (B,) commitment points where the
     generator/chunk axis is sharded over "chunks" and blocks over "blocks".

@@ -122,6 +122,7 @@ class PorlaServer:
         self._sh_commit = sharded.sharded_commit_fn(mesh, ops=self.ops)
         self._sh_msm32 = sharded.sharded_msm_fn(mesh, nbits=32,
                                                 ops=self.ops)
+        self._sh_pip_cache: dict = {}
 
     def _recv_blocks(self, msg: bytes) -> None:
         """Absorb one init batch: threaded batch block write + ONE MAC
@@ -504,10 +505,16 @@ class PorlaServer:
             self.levels[i].empty = True
             self.levels[i].file_backed = False
 
-    def _msm_sharded(self, pts: JacPoint, coeffs: list) -> JacPoint:
+    def _msm_sharded(self, pts: JacPoint, coeffs: list,
+                     nbits: int = 32) -> JacPoint:
         """DP audit-combination MSM over the mesh (Server.hpp:831-848).
         Pads the point axis to a multiple of the "blocks" shard count
-        with zero-scalar lanes (identity contributions)."""
+        with zero-scalar lanes (identity contributions). Large batches
+        route through the per-shard Pallas Pippenger kernel (the
+        windowed double-and-add path costs ~40x per point at scale);
+        any nbits up to 256 is supported on that path."""
+        from porla_tpu.parallel import sharded
+
         dp = self._mesh.shape["blocks"]
         n = pts.x.shape[0]
         npad = -(-n // dp) * dp
@@ -516,6 +523,17 @@ class PorlaServer:
             pad = lambda a: np.concatenate(  # noqa: E731
                 [np.asarray(a)] + [np.asarray(a)[:1]] * (npad - n), 0)
             pts = JacPoint(pad(pts.x), pad(pts.y), pad(pts.z))
+        n_loc = npad // dp
+        if n_loc >= 4096 or nbits > 32:
+            key = (nbits, n_loc)
+            if key not in self._sh_pip_cache:
+                self._sh_pip_cache[key] = sharded.sharded_pippenger_msm_fn(
+                    self._mesh, self.ops, nbits=nbits, n_local=n_loc)
+            fn, finish = self._sh_pip_cache[key]
+            out = finish(*fn(self._stage(pts.x), self._stage(pts.y),
+                             self._stage(pts.z), self._stage(sc)))
+            return JacPoint(out.x, out.y, out.z)
+        assert nbits <= 32
         out = self._sh_msm32(self._stage(pts.x), self._stage(pts.y),
                              self._stage(pts.z), self._stage(sc))
         return JacPoint(out[0], out[1], out[2])  # (1, 16) components

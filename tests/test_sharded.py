@@ -117,3 +117,25 @@ def test_sharded_msm_matches_golden(mesh):
     ks = [limbs.limbs_to_int(sc[i]) & ((1 << NBITS) - 1)
           for i in range(npts)]
     assert got == ecc.msm(ecc.SECP256K1, pts_aff, ks)
+
+
+@pytest.mark.slow
+def test_sharded_pippenger_msm_matches_golden(mesh):
+    """Nightly (~4 min interpret-mode): the perf-grade DP MSM (per-shard
+    Pallas Pippenger + log-depth window combine) against the exact host
+    MSM, full 256-bit scalars."""
+    ops = secp256k1()
+    rng = np.random.default_rng(11)
+    npts = 512  # 256/shard on the 2-block mesh
+    base = [ecc.mul(ecc.SECP256K1, ecc.SECP256K1.g, int(k) + 2)
+            for k in rng.integers(1, 1 << 20, 8)]
+    pts_aff = [base[i % 8] for i in range(npts)]
+    pts = ops.from_affine(jnp, pts_aff)
+    ks = [int.from_bytes(rng.bytes(32), "little") % ecc.SECP256K1.n
+          for _ in range(npts)]
+    sc = limbs.ints_to_limbs(ks)
+    fn, finish = sharded.sharded_pippenger_msm_fn(
+        mesh, ops, nbits=256, n_local=npts // mesh.shape["blocks"])
+    out = finish(*fn(pts.x, pts.y, pts.z, jnp.asarray(sc)))
+    got = ops.to_affine(out)[0]
+    assert got == ecc.msm(ecc.SECP256K1, pts_aff, ks)
