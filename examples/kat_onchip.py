@@ -149,6 +149,58 @@ def main():
 
     record("pallas_ntt_encode", kat_ntt)
 
+    # ---- north-star scale KATs (VERDICT r3 #4): production configs ----
+
+    def kat_pip_2e20():
+        """2^20-point 256-bit MSM in the PRODUCTION config (choose_c
+        policy, chunked host-streaming pipeline with bucket carry-over)
+        vs the exact host golden. Points are (i+1)*G — all DISTINCT
+        (every lane a different point, unlike the bench's tiled bases),
+        built by host chain adds; scalars fully random 256-bit. The
+        linear provenance makes the exact golden affordable:
+        sum_i k_i*(i+1) mod n scalar-mults G once."""
+        ops = secp256k1()
+        cur = ops.curve
+        N = 1 << 20
+        xs = np.empty((N,), object)
+        ys = np.empty((N,), object)
+        p = cur.g
+        for i in range(N):
+            xs[i], ys[i] = p
+            p = ecc.add(cur, p, cur.g)
+        pts = ops.from_affine(np, list(zip(xs, ys)))
+        sc = [rng.getrandbits(256) % cur.n for _ in range(N)]
+        out = pallas_msm.pippenger_msm(ops, pts, L.ints_to_limbs(sc))
+        got = ops.to_affine(ck.to_host(out))[0]
+        total = sum(k * (i + 1) for i, k in enumerate(sc)) % cur.n
+        assert got == ecc.mul(cur, cur.g, total)
+
+    record("pippenger_2e20_256bit_production", kat_pip_2e20)
+
+    def kat_icc_2e16():
+        """Full ICC encode at n=2^16, C=128 chunks, BOTH CRT lanes, on
+        hardware vs the exact numpy host twin (BASELINE config-2
+        scale). Bit-exact array equality, digest recorded."""
+        import hashlib
+
+        from porla_tpu.ntt import engine
+        from porla_tpu.protocol import compute
+
+        n, C = 1 << 16, 128
+        ctx = engine.NttContext(n, "ipa")
+        arr = np.random.default_rng(41).integers(
+            0, 1 << 16, (n, C, 16), dtype=np.uint32)
+        got = compute.encode_crt(ctx.mod_q, ctx,
+                                 engine.CrtArray(arr, arr))
+        gp, gq = np.asarray(got.p), np.asarray(got.q)
+        want = engine.encode_stages(np, ctx, engine.CrtArray(arr, arr))
+        assert np.array_equal(gp, want.p) and np.array_equal(gq, want.q)
+        dig = hashlib.sha256(gp.tobytes() + gq.tobytes()).hexdigest()
+        results["icc_encode_2e16_digest"] = {"pass": True,
+                                             "sha256": dig}
+
+    record("icc_encode_2e16_vs_exact_host", kat_icc_2e16)
+
     import jax as _jax
     out = {"backend": _jax.default_backend(),
            "device": str(_jax.devices()[0]),

@@ -1,20 +1,20 @@
-"""Ablation profile of the Pippenger bucket kernel (v5e, device-resident).
+"""Ablation profile of the PRODUCTION (v4) Pippenger bucket kernel:
+u8 scratch-resident buckets + v2 field core, on-device timing.
 
-Times the bucket-accumulate kernel with pieces ablated to locate the
-per-grid-step cost (BENCH_NOTES round-3 breakdown: 1.29 s / 90112 steps
-= 14.3 us/step at 2^20, c=6, bt=512). Variants:
+Variants (all share the production specs/scratch layout):
 
-  full        current _pip_kernel step (madd + nb-way select r/w)
-  noselect    fixed bucket slot (madd only; isolates select cost)
-  selonly     bucket select read/write with new = cur (no field math)
-  muls N      kernel doing N chained _f_mul on the tile (per-mul cost)
-  convonly N  N chained conv+fold-truncate (no resolve/REDC; UNSOUND,
-              timing only)
+  full        the production step (_digit_row + u8 select r/w + madd2)
+  noselect    fixed bucket slot (madd2 only; isolates select cost)
+  selonly     u8 select read/write with new = cur ^ pt (no field math)
+  muls N      N chained _f_mul2 on the tile (per-mul cost, v2 core)
+  unroll2     TWO production steps per grid step (operand block spans
+              2 point tiles) — amortizes per-grid-step fixed cost
 
-Usage: PYTHONPATH=... python examples/profile_msm_kernel.py
+Usage: PYTHONPATH=... python examples/profile_msm_kernel.py [--nb 64]
 """
 from __future__ import annotations
 
+import argparse
 import time
 from functools import partial
 
@@ -27,40 +27,16 @@ from jax.experimental.pallas import tpu as pltpu
 from porla_tpu.curves import pallas_curve as pc
 from porla_tpu.curves import pallas_msm as pm
 from porla_tpu.curves.instances import secp256k1
-from porla_tpu.fields import limbs as L
 from porla_tpu.ntt.mxu import ND
-from porla_tpu.ntt.pallas_stage import _fold, _resolve, _sub_mod
+from porla_tpu.ntt.pallas_stage import _sub_mod
 
 BT = 512
-NB = 32
 NWIN = 8          # scaled-down window count: per-step cost is window-free
 STEPS = 256
 
 
-# local copies of the round-3 output-block bucket select (the production
-# kernel moved to scratch-resident buckets, _scratch_read/_scratch_write)
-def _bucket_read(ox, oy, oz, slot, nb):
-    out = []
-    for buf in (ox, oy, oz):
-        acc = jnp.zeros_like(buf[0, 0])
-        for s in range(1, nb + 1):
-            acc = acc | jnp.where(slot == s, buf[0, s - 1], np.uint32(0))
-        out.append(acc)
-    return tuple(out)
-
-
-def _bucket_write(ox, oy, oz, slot, new, nb):
-    for s in range(1, nb + 1):
-        m = slot == s
-        ox[0, s - 1] = jnp.where(m, new[0], ox[0, s - 1])
-        oy[0, s - 1] = jnp.where(m, new[1], oy[0, s - 1])
-        oz[0, s - 1] = jnp.where(m, new[2], oz[0, s - 1])
-
-
 def timed(fn, args, label, steps_total):
     def barrier(out):
-        # slice ON DEVICE first: fetching a full output block through the
-        # ~89 MB/s tunnel would dominate the measurement
         leaf = jax.tree_util.tree_leaves(out)[0]
         _ = np.asarray(leaf[(0,) * (leaf.ndim - 1)][:1])
 
@@ -74,149 +50,131 @@ def timed(fn, args, label, steps_total):
     return dt
 
 
-def _mk_kernel(body):
-    def kern(px, py, dig, dx, dy, mN__r, mN_r, nd_r, rd_r, ox, oy, oz):
-        body(px, py, dig, dx, dy,
-             (mN__r[:], mN_r[:], nd_r[:], rd_r[:]), ox, oy, oz)
-    return kern
+def _call(body, nb, unroll=1):
+    steps = STEPS // unroll
+    pspec = pl.BlockSpec((unroll, ND, BT), lambda w, k: (k, 0, 0),
+                         memory_space=pltpu.VMEM)
+    dspec = pl.BlockSpec((1, 8, BT), lambda w, k: (w, k * unroll // 8, 0),
+                         memory_space=pltpu.VMEM)
+    bspec = pl.BlockSpec((nb, ND, 1), lambda w, k: (0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    hspec = pl.BlockSpec(memory_space=pltpu.ANY)
+    out = jax.ShapeDtypeStruct((NWIN, nb, ND, BT), jnp.uint8)
 
+    def kern(px, py, dig, dx, dy, w__r, w_r, nd_r, rd_r, ox, oy, oz,
+             sx, sy, sz, sems):
+        tabs = (w__r[:], w_r[:], nd_r[:], rd_r[:])
+        k = pl.program_id(1)
+        zero = px[0] & np.uint32(0)
 
-def _call(body):
-    pspec = pl.BlockSpec((1, ND, BT), lambda w, k: (k, 0, 0),
-                         memory_space=pltpu.VMEM)
-    dspec = pl.BlockSpec((1, 8, BT), lambda w, k: (w, k // 8, 0),
-                         memory_space=pltpu.VMEM)
-    bspec = pl.BlockSpec((NB, ND, 1), lambda w, k: (0, 0, 0),
-                         memory_space=pltpu.VMEM)
-    ospec = pl.BlockSpec((1, NB, ND, BT), lambda w, k: (w, 0, 0, 0),
-                         memory_space=pltpu.VMEM)
-    out = jax.ShapeDtypeStruct((NWIN, NB, ND, BT), jnp.uint32)
+        @pl.when(k == 0)
+        def _init():
+            z8 = zero.astype(jnp.uint8)
+            for s in range(nb):
+                sx[s] = dx[s].astype(jnp.uint8) + z8
+                sy[s] = dy[s].astype(jnp.uint8) + z8
+                sz[s] = rd_r[:].astype(jnp.uint8) + z8
+
+        body(px, py, dig, tabs, zero, sx, sy, sz, k)
+
+        @pl.when(k == steps - 1)
+        def _flush():
+            w = pl.program_id(0)
+            cx = pltpu.make_async_copy(sx, ox.at[w], sems.at[0])
+            cy = pltpu.make_async_copy(sy, oy.at[w], sems.at[1])
+            cz = pltpu.make_async_copy(sz, oz.at[w], sems.at[2])
+            cx.start(); cy.start(); cz.start()  # noqa: E702
+            cx.wait(); cy.wait(); cz.wait()  # noqa: E702
+
     return jax.jit(pl.pallas_call(
-        _mk_kernel(body),
-        grid=(NWIN, STEPS),
-        in_specs=[pspec] * 2 + [dspec] + [bspec] * 2 + pc._table_specs(),
-        out_specs=(ospec,) * 3,
+        kern,
+        grid=(NWIN, steps),
+        in_specs=[pspec] * 2 + [dspec] + [bspec] * 2 + pc._table_specs2(),
+        out_specs=(hspec,) * 3,
         out_shape=(out,) * 3,
+        scratch_shapes=[pltpu.VMEM((nb, ND, BT), jnp.uint8)] * 3
+        + [pltpu.SemaphoreType.DMA((3,))],
     ))
 
 
-def body_full(px, py, dig, dx, dy, tabs, ox, oy, oz):
+def _step(px, py, dig, tabs, zero, sx, sy, sz, k, nb, u=0, unroll=1):
     nd = tabs[2]
-    k = pl.program_id(1)
-    zero = px[0] & np.uint32(0)
+    v = pm._digit_row(dig[0], k * unroll + u)
+    slot = (v & (pm._SIGN - 1)).astype(jnp.uint32)
+    sgn = v >> 8
+    cur = pm._scratch_read(sx, sy, sz, slot, nb)
+    yneg = _sub_mod(zero, py[u], nd)
+    ysel = jnp.where(sgn != 0, yneg, py[u])
+    new = pc._p_madd_pure2(cur, (px[u], ysel), tabs, False)
+    pm._scratch_write(sx, sy, sz, slot, new, nb)
 
-    @pl.when(k == 0)
-    def _init():
-        for s in range(NB):
-            ox[0, s] = dx[s] + zero
-            oy[0, s] = dy[s] + zero
-            oz[0, s] = tabs[3] + zero
 
+def body_full(nb, px, py, dig, tabs, zero, sx, sy, sz, k):
+    _step(px, py, dig, tabs, zero, sx, sy, sz, k, nb)
+
+
+def body_unroll2(nb, px, py, dig, tabs, zero, sx, sy, sz, k):
+    _step(px, py, dig, tabs, zero, sx, sy, sz, k, nb, 0, 2)
+    _step(px, py, dig, tabs, zero, sx, sy, sz, k, nb, 1, 2)
+
+
+def body_noselect(nb, px, py, dig, tabs, zero, sx, sy, sz, k):
+    nd = tabs[2]
     v = pm._digit_row(dig[0], k)
-    slot = (v & np.uint32(127)).astype(jnp.uint32)
-    sgn = v >> 7
-    cur = _bucket_read(ox, oy, oz, slot, NB)
+    sgn = v >> 8
+    cur = (sx[0].astype(jnp.uint32), sy[0].astype(jnp.uint32),
+           sz[0].astype(jnp.uint32))
     yneg = _sub_mod(zero, py[0], nd)
     ysel = jnp.where(sgn != 0, yneg, py[0])
-    new = pc._p_madd_pure(cur, (px[0], ysel), tabs)
-    _bucket_write(ox, oy, oz, slot, new, NB)
+    new = pc._p_madd_pure2(cur, (px[0], ysel), tabs, False)
+    sx[0] = new[0].astype(jnp.uint8)
+    sy[0] = new[1].astype(jnp.uint8)
+    sz[0] = new[2].astype(jnp.uint8)
 
 
-def body_noselect(px, py, dig, dx, dy, tabs, ox, oy, oz):
-    nd = tabs[2]
-    k = pl.program_id(1)
-    zero = px[0] & np.uint32(0)
-
-    @pl.when(k == 0)
-    def _init():
-        for s in range(NB):
-            ox[0, s] = dx[s] + zero
-            oy[0, s] = dy[s] + zero
-            oz[0, s] = tabs[3] + zero
-
+def body_selonly(nb, px, py, dig, tabs, zero, sx, sy, sz, k):
     v = pm._digit_row(dig[0], k)
-    sgn = v >> 7
-    cur = (ox[0, 0], oy[0, 0], oz[0, 0])
-    yneg = _sub_mod(zero, py[0], nd)
-    ysel = jnp.where(sgn != 0, yneg, py[0])
-    new = pc._p_madd_pure(cur, (px[0], ysel), tabs)
-    ox[0, 0], oy[0, 0], oz[0, 0] = new
-
-
-def body_selonly(px, py, dig, dx, dy, tabs, ox, oy, oz):
-    k = pl.program_id(1)
-    zero = px[0] & np.uint32(0)
-
-    @pl.when(k == 0)
-    def _init():
-        for s in range(NB):
-            ox[0, s] = dx[s] + zero
-            oy[0, s] = dy[s] + zero
-            oz[0, s] = tabs[3] + zero
-
-    v = pm._digit_row(dig[0], k)
-    slot = (v & np.uint32(127)).astype(jnp.uint32)
-    cur = _bucket_read(ox, oy, oz, slot, NB)
+    slot = (v & (pm._SIGN - 1)).astype(jnp.uint32)
+    cur = pm._scratch_read(sx, sy, sz, slot, nb)
     new = (cur[0] ^ px[0], cur[1] ^ py[0], cur[2] ^ zero)
-    _bucket_write(ox, oy, oz, slot, new, NB)
+    pm._scratch_write(sx, sy, sz, slot, new, nb)
 
 
-def body_muls(n_muls, px, py, dig, dx, dy, tabs, ox, oy, oz):
-    k = pl.program_id(1)
-    zero = px[0] & np.uint32(0)
-
-    @pl.when(k == 0)
-    def _init():
-        for s in range(NB):
-            ox[0, s] = dx[s] + zero
-            oy[0, s] = dy[s] + zero
-            oz[0, s] = tabs[3] + zero
-
+def body_muls(n_muls, nb, px, py, dig, tabs, zero, sx, sy, sz, k):
     a = px[0]
     b = py[0]
     for _ in range(n_muls):
-        a = pc._f_mul(a, b, tabs)
-    ox[0, 0] = a
-
-
-def body_convonly(n_muls, px, py, dig, dx, dy, tabs, ox, oy, oz):
-    k = pl.program_id(1)
-    zero = px[0] & np.uint32(0)
-
-    @pl.when(k == 0)
-    def _init():
-        for s in range(NB):
-            ox[0, s] = dx[s] + zero
-            oy[0, s] = dy[s] + zero
-            oz[0, s] = tabs[3] + zero
-
-    a = px[0]
-    b = py[0]
-    for _ in range(n_muls):
-        cols = pc._conv_columns(a, b)
-        a = _fold(cols[:ND], ND) & np.uint32(0xFF)  # truncate: timing only
-    ox[0, 0] = a
+        a = pc._f_mul2(a, b, tabs, False)
+    sx[0] = a.astype(jnp.uint8)
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nb", type=int, default=64)
+    args = ap.parse_args()
+    nb = args.nb
+
     ops = secp256k1()
     rng = np.random.default_rng(0)
     px = jnp.asarray(rng.integers(0, 256, (STEPS, ND, BT), np.uint32))
     py = jnp.asarray(rng.integers(0, 256, (STEPS, ND, BT), np.uint32))
     dig = jnp.asarray(
-        rng.integers(1, NB, (NWIN, (STEPS + 7) // 8 * 8, BT), np.uint32)
+        rng.integers(1, nb, (NWIN, (STEPS + 7) // 8 * 8, BT), np.uint32)
         .reshape(NWIN, -1, BT))
-    dx, dy, _ = pm._blinding(ops, NB)
-    tabs = [jnp.asarray(t) for t in pc._curve_tables(ops.fp)]
-    args = (px, py, dig, dx, dy, *tabs)
+    dx, dy, _ = pm._blinding(ops, nb)
+    tabs = [jnp.asarray(t) for t in pc._curve_tables2(ops.fp)]
+    args_ = (px, py, dig, dx, dy, *tabs)
     total = NWIN * STEPS
 
-    t_full = timed(_call(body_full), args, "full", total)
-    t_nosel = timed(_call(body_noselect), args, "noselect", total)
-    timed(_call(body_selonly), args, "selonly", total)
-    t6 = timed(_call(partial(body_muls, 6)), args, "muls6", total)
-    t11 = timed(_call(partial(body_muls, 11)), args, "muls11", total)
-    timed(_call(partial(body_convonly, 11)), args, "convonly11", total)
+    t_full = timed(_call(partial(body_full, nb), nb), args_, "full", total)
+    timed(_call(partial(body_unroll2, nb), nb, unroll=2), args_,
+          "unroll2", total)
+    t_nosel = timed(_call(partial(body_noselect, nb), nb), args_,
+                    "noselect", total)
+    timed(_call(partial(body_selonly, nb), nb), args_, "selonly", total)
+    t6 = timed(_call(partial(body_muls, 6, nb), nb), args_, "muls6", total)
+    t11 = timed(_call(partial(body_muls, 11, nb), nb), args_, "muls11",
+                total)
     per_mul = (t11 - t6) / 5 / total
     print(f"\nper-mul: {per_mul*1e6:.2f} us; madd(11mul) model: "
           f"{11*per_mul*1e6:.2f} us; select overhead: "
