@@ -49,7 +49,9 @@ def main():
     print(f"initialized n={args.n} in {time.time() - t0:.1f}s", flush=True)
 
     # warm one update+audit so compiles don't pollute the traced window
-    client.update(1)
+    # (round-robin discipline: block id follows write_step — see
+    # client.UpdateOrderError)
+    client.update((client.write_step % args.n) + 1)
     client.audit()
 
     trace.enable()
@@ -57,7 +59,7 @@ def main():
     times = []
     for i in range(args.updates):
         t0 = time.perf_counter()
-        client.update((i % args.n) + 1)
+        client.update((client.write_step % args.n) + 1)
         times.append(time.perf_counter() - t0)
     for _ in range(args.audits):
         t0 = time.perf_counter()

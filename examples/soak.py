@@ -43,8 +43,11 @@ def run_scheme(scheme: str, n: int, audits: int, epochs: int) -> dict:
     t_init = time.time() - t0
     print(f"[{scheme}] initialized n={n} in {t_init:.1f}s", flush=True)
 
-    # warm one update + audit (compiles) before the metered epoch
-    client.update(1)
+    # warm one update + audit (compiles) before the metered epoch —
+    # the update must continue the round-robin rotation (UpdateOrderError;
+    # the round-4 soak failed its post-epoch audit because this warm-up
+    # was a hardcoded update(1) that shifted the rotation)
+    client.update((client.write_step % n) + 1)
     client.audit()
 
     trace.enable()

@@ -39,6 +39,20 @@ class AuditError(AssertionError):
     pass
 
 
+class UpdateOrderError(ValueError):
+    """The protocol's complement scheme derives every PRF time input
+    canonically from write_step alone (O(1) client state): the epoch
+    CRebuild regenerates U complements assuming block i+1 was last
+    written at step base+i (Client.hpp:483-499), and the replay folds
+    assume the same discipline for the log levels. Updates must
+    therefore arrive ROUND-ROBIN: block_id == (write_step % n) + 1.
+    The reference SILENTLY corrupts future epochs on any other order
+    (its self_test only ever updates in rotation); we turn that into a
+    typed error at the call site instead of a failed audit an epoch
+    later. (Found by the round-4 soak: a warm-up update(1) shifted the
+    rotation and the post-CRebuild audit failed.)"""
+
+
 class PorlaClient:
     def __init__(self, config: PorlaConfig, transport, data_seed: bytes | None = None):
         self.config = config
@@ -214,6 +228,13 @@ class PorlaClient:
             self._update_impl(block_id)
 
     def _update_impl(self, block_id: int) -> None:
+        expected = (self.write_step % self.num_blocks) + 1
+        if block_id != expected:
+            raise UpdateOrderError(
+                f"update(block_id={block_id}) at write_step="
+                f"{self.write_step}: the complement scheme requires "
+                f"round-robin updates; expected block {expected} "
+                f"(see UpdateOrderError)")
         chunks = self.create_data_block(block_id)
         compl = self.complement_points([(0, block_id, self.write_step)])
         commit = self._commit_blocks([chunks])
@@ -354,7 +375,10 @@ class PorlaClient:
         for _ in range(epochs):
             for i in range(self.num_blocks):
                 t0 = time.perf_counter()
-                self.update(i + 1)
+                # continue the rotation from wherever write_step stands
+                # (warm-up updates may have advanced it): the protocol
+                # requires block_id == (ws % n) + 1 — see UpdateOrderError
+                self.update((self.write_step % self.num_blocks) + 1)
                 total += time.perf_counter() - t0
                 requests += 1
                 if i == self.num_blocks - 1:

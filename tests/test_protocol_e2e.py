@@ -72,3 +72,30 @@ def test_corruption_is_detected(pair):
         client.audit()
     top.x.data = type(top.x.data)(top.x.data.p, orig)
     client.audit()  # back to healthy
+
+
+def test_post_epoch_update_and_audit(pair):
+    """Regression (round-4 soak): audit ONE aligned update PAST the
+    epoch CRebuild. This is the state the misaligned soak warm-up
+    silently corrupted — the CRebuild regenerates U complements from
+    canonical round-robin times (Client.hpp:483-499), so the update
+    after it must continue the rotation."""
+    client, server = pair
+    client.update((client.write_step % client.num_blocks) + 1)
+    client.audit()
+
+
+def test_misaligned_update_rejected(pair):
+    """The complement scheme supports ONLY round-robin updates; the
+    reference silently corrupts future epochs on any other order — we
+    raise a typed error at the call site instead, and the client state
+    stays usable."""
+    from porla_tpu.protocol.client import UpdateOrderError
+    client, server = pair
+    n = client.num_blocks
+    expected = (client.write_step % n) + 1
+    wrong = expected % n + 1  # any other id
+    with pytest.raises(UpdateOrderError):
+        client.update(wrong)
+    client.update(expected)  # rotation unbroken
+    client.audit()
