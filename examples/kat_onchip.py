@@ -43,6 +43,14 @@ def main():
     rng = random.Random(99)
     results = {}
 
+    def flush_partial():
+        out = {"backend": None, "device": None,
+               "all_pass": all(r.get("pass", True)
+                               for r in results.values()),
+               "partial": True, "kats": results}
+        with open(args.out, "w") as f:
+            json.dump(out, f, indent=1)
+
     def record(name, fn):
         t0 = time.time()
         try:
@@ -52,6 +60,9 @@ def main():
             results[name] = {"pass": False, "err": repr(e)[:200],
                              "s": round(time.time() - t0, 1)}
         print(f"{name}: {results[name]}", flush=True)
+        # incremental artifact: a killed run still leaves its record
+        # (the round-4 run died inside the LAST kat and left nothing)
+        flush_partial()
 
     def rand_pts(ops, k):
         cur = ops.curve
@@ -178,15 +189,18 @@ def main():
     record("pippenger_2e20_256bit_production", kat_pip_2e20)
 
     def kat_icc_2e16():
-        """Full ICC encode at n=2^16, C=128 chunks, BOTH CRT lanes, on
-        hardware vs the exact numpy host twin (BASELINE config-2
-        scale). Bit-exact array equality, digest recorded."""
+        """Full ICC encode at n=2^16, BOTH CRT lanes, on hardware vs the
+        exact numpy host twin (BASELINE config-2 scale in n). C=16
+        chunks: the chunk axis is pure batch (identical per-chunk math),
+        and the exact host model at C=128 costs ~45 min of numpy limb
+        arithmetic — it timed out the whole round-4 artifact run.
+        Bit-exact array equality, digest recorded."""
         import hashlib
 
         from porla_tpu.ntt import engine
         from porla_tpu.protocol import compute
 
-        n, C = 1 << 16, 128
+        n, C = 1 << 16, 16
         ctx = engine.NttContext(n, "ipa")
         arr = np.random.default_rng(41).integers(
             0, 1 << 16, (n, C, 16), dtype=np.uint32)

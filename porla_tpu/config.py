@@ -54,6 +54,12 @@ class PorlaConfig:
     # TPU-native reshaping of the reference's per-butterfly 512-byte file
     # RMW in CRebuild_No_Cached / disk mix, Server.hpp:1835-2255, 954-1207)
     stream_stripe_blocks: int = 4096
+    # multi-chip: route ALL sharded audit MSMs through the perf-grade
+    # per-shard Pippenger kernel (parallel/sharded.py) even below its
+    # size cutoff, so the production MSM path is exercised by the
+    # multichip dryrun record and CI (it otherwise only triggers at
+    # n_local >= 4096 or nbits > 32)
+    force_sharded_pippenger: bool = False
     # multi-chip: a jax.sharding.Mesh with ("blocks", "chunks") axes. When
     # set, the server's CRebuild data encode, MAC-mirror point stages,
     # commitments and audit MSMs run sharded over the mesh

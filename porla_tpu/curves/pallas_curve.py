@@ -942,7 +942,11 @@ def fb_scalar_mul(table: FbTable, scalars, interpret: bool | None = None,
     scalars = np.asarray(scalars, dtype=np.uint32)
     B0 = scalars.shape[0]
     bt = table.bt
-    B = max(bt, -(-B0 // bt) * bt)
+    # pow2 padding (same rationale as _prep): batch-size drift across
+    # level occupancies must not mint new executables
+    B = bt
+    while B < B0:
+        B <<= 1
     nwin = table.nbits // 4
     W, fn = _fb_call(B, bt, nwin, interpret)
     tabs = _curve_tables(table.ops.fp)
@@ -1035,8 +1039,14 @@ def _prep(B0: int, bt: int):
     executable — each distinct batch size costs a fresh Pallas kernel
     compile through the remote compile service (~30-90 s on this
     platform), which dwarfs the wasted lanes (kernel time at 512 lanes
-    ~= 128 lanes; the VPU is latency-bound at these widths)."""
-    B = max(_MIN_B, -(-B0 // 128) * 128)
+    ~= 128 lanes; the VPU is latency-bound at these widths). Above
+    _MIN_B, pad to the next POWER OF TWO (not the next 128-lane tile):
+    protocol batch sizes drift with level occupancy, and each distinct
+    padded size is a fresh 30-90 s compile — pow2 buckets cap the
+    executable count at log2(max batch) for <=2x wasted lanes."""
+    B = _MIN_B
+    while B < B0:
+        B <<= 1
     btr = min(bt, B)
     while B % btr:
         btr >>= 1

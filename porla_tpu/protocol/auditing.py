@@ -85,6 +85,28 @@ def build_audit_plan(seed: bytes, write_step: int, num_blocks: int,
                      int(audit_values[ptr]))
 
 
+def max_audit_samples(num_blocks: int, height: int) -> int:
+    """Worst-case sample count over ALL level occupancies (every level
+    occupied): per level i the plan draws min(NUM_CHECK_AUDIT, 2^(i+1))
+    samples. Audit batch shapes are padded to this so every audit of a
+    given database size shares ONE set of executables — the per-occupancy
+    shapes otherwise recompile the MSM/linear-combine programs on almost
+    every audit (the round-4 dryrun's 165 s warm audit #2)."""
+    return sum(min(NUM_CHECK_AUDIT, 2 << i) for i in range(height))
+
+
+def audit_pad_slots(num_blocks: int, height: int) -> int:
+    """max_audit_samples rounded up to a power of two (>= 8), the padded
+    slot count used by both parties' audit batches. Padding slots carry
+    coefficient 0 and the point at infinity — exact identity
+    contributions in every downstream kernel."""
+    m = max_audit_samples(num_blocks, height)
+    p = 8
+    while p < m:
+        p <<= 1
+    return p
+
+
 def masked_write_step(write_step: int, level: int) -> int:
     """The write step at which `level`'s fresh complements were installed
     (Client.hpp:646: write_step &= ~((1<<i)-1))."""

@@ -314,8 +314,14 @@ class PorlaClient:
                 s = plan.samples[k]
                 index = s.index if s.is_x else s.index + sz
                 records[k] = (level, index, mws)
+        # pad to the occupancy-independent worst-case slot count so every
+        # audit of this database size reuses one set of executables
+        # (padding: coeff 0 — identity contribution)
+        S = auditing.audit_pad_slots(n, self.height)
+        records += [(0, 0, 0)] * (S - len(records))
         compl = self.complement_points(records)
-        coeffs = [s.coeff for s in plan.samples]
+        coeffs = ([s.coeff for s in plan.samples]
+                  + [0] * (S - len(plan.samples)))
         ops = self.ops
         combined_compl = ops.to_affine(ck.to_host(ck.msm(
             ops, ck.to_device(compl), limbs.ints_to_limbs(coeffs),

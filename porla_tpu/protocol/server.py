@@ -524,7 +524,8 @@ class PorlaServer:
                 [np.asarray(a)] + [np.asarray(a)[:1]] * (npad - n), 0)
             pts = JacPoint(pad(pts.x), pad(pts.y), pad(pts.z))
         n_loc = npad // dp
-        if n_loc >= 4096 or nbits > 32:
+        if (n_loc >= 4096 or nbits > 32
+                or self.config.force_sharded_pippenger):
             key = (nbits, n_loc)
             if key not in self._sh_pip_cache:
                 self._sh_pip_cache[key] = sharded.sharded_pippenger_msm_fn(
@@ -627,6 +628,21 @@ class PorlaServer:
                                 np.asarray(pts.y)[s.index],
                                 np.asarray(pts.z)[s.index]))
 
+        # pad all audit batches to the occupancy-independent worst case
+        # (auditing.audit_pad_slots) so every audit of this database size
+        # reuses one set of executables: zero blocks with coefficient 0
+        # and points at infinity are exact identity contributions
+        S = auditing.audit_pad_slots(self.num_blocks, self.height)
+        npad = S - len(coeffs)
+        if npad:
+            zb = np.zeros_like(blocks_p[0])
+            blocks_p += [zb] * npad
+            blocks_q += [zb] * npad
+            coeffs += [0] * npad
+            inf = hlog.infinity_points(1, self.ops)
+            for bag in (ptc, pta):
+                bag += [(inf.x[0], inf.y[0], inf.z[0])] * npad
+
         blocks = CrtArray(np.stack(blocks_p), np.stack(blocks_q))
         with trace.span("server.audit.combine"):
             B = hlog.host_crt(
@@ -642,12 +658,12 @@ class PorlaServer:
         with trace.span("server.audit.msm", n=len(coeffs)):
             # MAC + alignment MSMs share coefficients -> one kernel call
             # over the stacked point set, reduced per half
-            both = hlog.concat_points(stack_pts(ptc), stack_pts(pta))
             from porla_tpu.curves import pallas_curve
             if self._mesh is not None:
                 combined_mac_j = self._msm_sharded(stack_pts(ptc), coeffs)
                 combined_align_j = self._msm_sharded(stack_pts(pta), coeffs)
             elif pallas_curve.use_pallas():
+                both = hlog.concat_points(stack_pts(ptc), stack_pts(pta))
                 parts = pallas_curve.scalar_mul(
                     ops, both, coeff_limbs, nbits=32, keep_pad=True)
                 half = len(coeffs)
@@ -656,6 +672,7 @@ class PorlaServer:
                 combined_align_j = ck.tree_sum(ops, ck.index(
                     parts, slice(half, 2 * half)))
             else:
+                both = hlog.concat_points(stack_pts(ptc), stack_pts(pta))
                 half = len(coeffs)
                 combined_mac_j = ck.msm(
                     ops, ck.index(both, slice(0, half)),

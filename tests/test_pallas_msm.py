@@ -98,6 +98,74 @@ def test_pippenger_msm_bn254():
     assert ops.to_affine(out)[0] == want
 
 
+def _run_digits(c: int, sc: list[int], nbits: int = 8):
+    """Fixed-scalar KAT pinning the signed-digit extraction corners for
+    window width c (production policy picks c=7/8; the c=8 bit-8
+    sign-flag collision at |d| = 128 was only caught by the bench golden
+    check in round 4 — pallas_msm.py:68-71)."""
+    ops = secp256k1()
+    cur = ops.curve
+    pts = [ecc.mul(cur, cur.g, rng.randrange(1, cur.n))
+           for _ in range(len(sc))]
+    want = ecc.INF
+    for p, s in zip(pts, sc):
+        want = ecc.add(cur, want, ecc.mul(cur, p, s))
+    out = pallas_msm.pippenger_msm(
+        ops, ops.from_affine(np, pts), L.ints_to_limbs(sc), nbits=nbits,
+        interpret=True, c=c)
+    assert ops.to_affine(out)[0] == want
+
+
+@slow
+def test_pippenger_msm_c7_digit_corners():
+    """c=7: |d| = 64 = 2^(c-1) (no-borrow max digit), 65 (borrow),
+    127 (all-ones window), 0, and a carry chain into the top window."""
+    _run_digits(7, [64, 65, 127, 128, 255, 0, 100])
+
+
+@slow
+def test_pippenger_msm_c8_digit_corners():
+    """c=8: |d| = 128 packs as 0x80 — value bit 7 set with the sign flag
+    on bit 8 (a bit-7 flag collides exactly here); 129/255 borrow with
+    carry; 0 must write nowhere."""
+    _run_digits(8, [128, 129, 255, 127, 0, 1])
+
+
+@pytest.mark.parametrize("c", [4, 7, 8])
+def test_signed_digit_extraction(c):
+    """FAST-tier pin of the signed-window extraction + sign-flag packing
+    for the widths the production policy uses (c=7/8): _prep_fn's packed
+    digits, unpacked with the KERNEL'S formulas (slot = v & (_SIGN-1),
+    sgn = v >> 8), must reconstruct every scalar with |d| <= 2^(c-1).
+    Covers the |d| = 2^(c-1) corner where a bit-7 sign flag collides at
+    c=8 (round 4's bench-only catch, pallas_msm.py:68-71)."""
+    import jax.numpy as jnp
+    nb = 1 << (c - 1)
+    nbits = 256
+    ops = secp256k1()
+    n = ops.curve.n
+    # adversarial scalars: all-ones runs, digit-boundary values, randoms
+    sc = [0, 1, nb, nb + 1, (1 << 256) - 1, n - 1,
+          int("80" * 32, 16), int("7f" * 32, 16)]
+    sc += [rng.getrandbits(256) for _ in range(8)]
+    npad, bt = 16, 16
+    prep = pallas_msm._prep_fn(npad, 1, bt, c, -(-nbits // c) + 1, True)
+    z = np.ones((npad, 16), np.uint32)  # nonzero -> valid lanes
+    _, _, pack = prep(z, z, z, L.ints_to_limbs(sc))
+    pack = np.asarray(pack)             # (nwin, steps8, bt)
+    nwin = pack.shape[0]
+    for i, s in enumerate(sc):
+        total = 0
+        for w in range(nwin):
+            v = int(pack[w, 0, i])
+            slot = v & (pallas_msm._SIGN - 1)
+            sgn = v >> 8
+            assert slot <= nb, (c, i, w, v)
+            d = -slot if sgn else slot
+            total += d << (c * w)
+        assert total == s, (c, i)
+
+
 @slow
 def test_pippenger_msm_non_pow2_batch():
     """N=300 forces a padded lane tile; a non-power-of-two tile width
