@@ -129,9 +129,15 @@ def bench_msm(curve_name: str, n: int = 1 << 20) -> dict:
         total = sum(sc[g::nbases]) % cur.n
         want = ecc.add(cur, want, ecc.mul(cur, bases[g], total))
 
+    # scalars are reduced mod the group order (the gnark MultiExp
+    # contract too, main.go:118-138): bound nbits by the order's bit
+    # length — BN254's 254-bit Fr makes c=8's window count tight
+    # (pallas_msm._nwin_for) for a measured ~4.6% over c=7@256
+    nbits = cur.n.bit_length()
+
     def run():
         out = pallas_msm.pippenger_msm(ops, points, sc_limbs,
-                                       affine=True)
+                                       nbits=nbits, affine=True)
         return ops.to_affine(out)[0]
 
     def check(got):
@@ -148,12 +154,13 @@ def bench_msm(curve_name: str, n: int = 1 << 20) -> dict:
         times.append(time.perf_counter() - t0)
         check(got)
     t = min(times)
-    c = pallas_msm.choose_c(n)
+    c = pallas_msm.choose_c(n, nbits)
     return {
         "metric": f"msm_points_per_s_{curve_name}",
         "value": round(n / t, 1),
-        "unit": f"pts/s (N=2^20, 256-bit scalars, Pippenger c={c}, "
-                f"device-resident operands, {jax.default_backend()})",
+        "unit": f"pts/s (N=2^20, {nbits}-bit order scalars, Pippenger "
+                f"c={c}, device-resident operands, "
+                f"{jax.default_backend()})",
         "vs_baseline": round(
             n / t / REFERENCE_CPU_MSM_PTS_PER_S[curve_name], 3),
     }

@@ -312,12 +312,12 @@ def sharded_pippenger_msm_fn(mesh: Mesh, ops=None, nbits: int = 256,
     nb = 1 << (c - 1)
     steps = -(-n_local // bt)
     npad = steps * bt
-    nwin = -(-nbits // c) + 1
+    nwin, tight = pm._nwin_for(nbits, c)
 
     dx, dy, tsum = pm._blinding(ops, nb)
     friendly = pc._mont_friendly(ops.fp)
     tabs = [jnp.asarray(t) for t in pc._curve_tables2(ops.fp)]
-    prep = pm._prep_fn(npad, steps, bt, c, nwin, False)
+    prep = pm._prep_fn(npad, steps, bt, c, nwin, False, tight)
     pip = pm._pip_call(nwin, steps, bt, nb, False, False, friendly,
                        interpret)
     fold = pm._fold_call(nwin, bt, nb, friendly, interpret)

@@ -528,8 +528,15 @@ class PorlaServer:
                 or self.config.force_sharded_pippenger):
             key = (nbits, n_loc)
             if key not in self._sh_pip_cache:
+                # at forced tiny sizes (the dryrun record / CI), shrink
+                # the window width: the interpret-mode fold graph is
+                # nwin*nb inlined point adds, and tracing/lowering it
+                # dominates the multichip dryrun budget (c=2 -> 4x
+                # fewer bodies than c=4); production sizes keep the
+                # measured policy
+                c = 2 if n_loc < 64 else None
                 self._sh_pip_cache[key] = sharded.sharded_pippenger_msm_fn(
-                    self._mesh, self.ops, nbits=nbits, n_local=n_loc)
+                    self._mesh, self.ops, nbits=nbits, n_local=n_loc, c=c)
             fn, finish = self._sh_pip_cache[key]
             out = finish(*fn(self._stage(pts.x), self._stage(pts.y),
                              self._stage(pts.z), self._stage(sc)))

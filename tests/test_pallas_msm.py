@@ -149,21 +149,27 @@ def test_signed_digit_extraction(c):
           int("80" * 32, 16), int("7f" * 32, 16)]
     sc += [rng.getrandbits(256) for _ in range(8)]
     npad, bt = 16, 16
-    prep = pallas_msm._prep_fn(npad, 1, bt, c, -(-nbits // c) + 1, True)
-    z = np.ones((npad, 16), np.uint32)  # nonzero -> valid lanes
-    _, _, pack = prep(z, z, z, L.ints_to_limbs(sc))
-    pack = np.asarray(pack)             # (nwin, steps8, bt)
-    nwin = pack.shape[0]
-    for i, s in enumerate(sc):
-        total = 0
-        for w in range(nwin):
-            v = int(pack[w, 0, i])
-            slot = v & (pallas_msm._SIGN - 1)
-            sgn = v >> 8
-            assert slot <= nb, (c, i, w, v)
-            d = -slot if sgn else slot
-            total += d << (c * w)
-        assert total == s, (c, i)
+    nwin_t, tight = pallas_msm._nwin_for(nbits, c)
+    variants = [(-(-nbits // c) + 1, False)]
+    if tight:
+        # the carry-absorbing top window (production path when c
+        # does not divide nbits) must reconstruct too
+        variants.append((nwin_t, True))
+    for nwin, tight_f in variants:
+        prep = pallas_msm._prep_fn(npad, 1, bt, c, nwin, True, tight_f)
+        z = np.ones((npad, 16), np.uint32)  # nonzero -> valid lanes
+        _, _, pack = prep(z, z, z, L.ints_to_limbs(sc))
+        pack = np.asarray(pack)             # (nwin, steps8, bt)
+        for i, s in enumerate(sc):
+            total = 0
+            for w in range(nwin):
+                v = int(pack[w, 0, i])
+                slot = v & (pallas_msm._SIGN - 1)
+                sgn = v >> 8
+                assert slot <= nb, (c, i, w, v, tight_f)
+                d = -slot if sgn else slot
+                total += d << (c * w)
+            assert total == s, (c, i, tight_f)
 
 
 @slow
