@@ -70,12 +70,17 @@ def main():
     ap.add_argument("--out", default="SOAK_r02.json")
     args = ap.parse_args()
 
-    results = [run_scheme(s, args.n, args.audits, args.epochs)
-               for s in args.schemes.split(",")]
-    with open(args.out, "w") as f:
-        json.dump({"workload": "self_test (Client.hpp:894-919)",
-                   "epochs": args.epochs, "results": results}, f, indent=1)
-    print(f"wrote {args.out}")
+    results = []
+    for s in args.schemes.split(","):
+        results.append(run_scheme(s, args.n, args.audits, args.epochs))
+        # incremental artifact: a killed run still leaves the schemes
+        # that finished (round-4 lesson: all-at-the-end writes lose
+        # everything to a timeout)
+        with open(args.out, "w") as f:
+            json.dump({"workload": "self_test (Client.hpp:894-919)",
+                       "epochs": args.epochs, "results": results},
+                      f, indent=1)
+        print(f"wrote {args.out} ({len(results)} scheme(s))", flush=True)
 
 
 if __name__ == "__main__":
